@@ -1,0 +1,178 @@
+"""Metadata-parsing queries (reference P1-P3, P4, P5).
+
+Synthetic folder/file names are built deterministically from the
+`part` table in BOTH engines, then parsed back — exercising the same
+regex cascade the reference applies to manga directory names
+(reference core/processor.py:19-94 and :114-151).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import parsing as P
+from ..session import load_table
+from . import register
+
+# path: "[Scan-BRAND] <name> - Volume <v> Capitulo <c>[ Extra]"
+_PATH_SQL = (
+    "'[Scan-' || p_brand || '] ' || p_name || ' - Volume ' || CAST(p_size AS VARCHAR)"
+    " || ' Capitulo ' || CAST(p_partkey % 50 AS VARCHAR)"
+    " || CASE WHEN p_partkey % 7 = 0 THEN ' Extra' ELSE '' END"
+)
+# filename: "<brand>_v<size>_c<partkey%50>.png"
+_FILE_SQL = (
+    "p_brand || '_v' || CAST(p_size AS VARCHAR) || '_c' || CAST(p_partkey % 50 AS VARCHAR) || '.png'"
+)
+
+
+def _path_col() -> F.Column:
+    return F.concat(
+        F.lit("[Scan-"),
+        F.col("p_brand"),
+        F.lit("] "),
+        F.col("p_name"),
+        F.lit(" - Volume "),
+        F.col("p_size").cast("string"),
+        F.lit(" Capitulo "),
+        (F.col("p_partkey") % 50).cast("string"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(" Extra")).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "parse_directory_name",
+    f"""
+    SELECT p_partkey, path,
+           TRIM(REGEXP_REPLACE(
+             SPLIT_PART(REGEXP_REPLACE(path, '\\[[^\\]]*\\]', '', 'g'), ' - ', 1),
+             '(?i)\\s*(volume|capitulo|capítulo|extra)\\b.*$', '', 'g')) AS manga_name
+    FROM (SELECT p_partkey, {_PATH_SQL} AS path FROM part)
+    ORDER BY p_partkey
+    """,
+    doc="P1 getDirectoryName: strip [tags], keep segment before ' - ', drop "
+    "trailing volume/chapter words (reference core/processor.py:19-40). "
+    "Pure codegen'd regex projection — no shuffle.",
+    tags=("parse",),
+)
+def parse_directory_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").withColumn("path", _path_col())
+    return (
+        p.select("p_partkey", "path", P.manga_name(F.col("path")).alias("manga_name"))
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "parse_volume_chapter",
+    f"""
+    SELECT p_partkey,
+           NULLIF(REGEXP_EXTRACT(path, '(?i)volume\\s*([0-9.]+)', 1), '') AS volume,
+           NULLIF(REGEXP_EXTRACT(path, '(?i)cap[ií]tulo\\s*([0-9.]+)', 1), '') AS chapter,
+           REGEXP_MATCHES(path, '(?i)\\bextra\\b') AS is_extra,
+           NULLIF(REGEXP_EXTRACT(path, '\\[([^\\]]*)\\]', 1), '') AS scan
+    FROM (SELECT p_partkey, {_PATH_SQL} AS path FROM part)
+    ORDER BY p_partkey
+    """,
+    doc="P2 getDirectoryInformation: keyword-sliced volume/chapter (kept as "
+    "STRINGS, digits-only, as the reference does at core/processor.py:80-87), "
+    "extra flag, scan tag (core/processor.py:43-94).",
+    tags=("parse",),
+)
+def parse_volume_chapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").withColumn("path", _path_col())
+    return (
+        p.select(
+            "p_partkey",
+            P.volume_number(F.col("path")).alias("volume"),
+            P.chapter_number(F.col("path")).alias("chapter"),
+            P.is_extra(F.col("path")).alias("is_extra"),
+            P.scan_tag(F.col("path")).alias("scan"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "parse_filename",
+    f"""
+    SELECT p_partkey, fname,
+           NULLIF(REGEXP_EXTRACT(fname, '(?i)[_\\-(] ?v([0-9]+)', 1), '') AS file_volume,
+           NULLIF(REGEXP_EXTRACT(fname, '(?i)[_\\-] ?c([0-9]+)', 1), '') AS file_chapter
+    FROM (SELECT p_partkey, {_FILE_SQL} AS fname FROM part)
+    ORDER BY p_partkey
+    """,
+    doc="P3 filename `_v01_c03` volume/chapter parse "
+    "(reference core/processor.py:114-151).",
+    tags=("parse",),
+)
+def parse_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "fname",
+        F.concat(
+            F.col("p_brand"),
+            F.lit("_v"),
+            F.col("p_size").cast("string"),
+            F.lit("_c"),
+            (F.col("p_partkey") % 50).cast("string"),
+            F.lit(".png"),
+        ),
+    )
+    return (
+        p.select(
+            "p_partkey",
+            "fname",
+            P.file_volume(F.col("fname")).alias("file_volume"),
+            P.file_chapter(F.col("fname")).alias("file_chapter"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "page_md5",
+    """
+    SELECT doc_id, md5(text) AS page_hash, n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="P4 page identity hash — md5 of content bytes "
+    "(reference core/processor.py:198-206); in the extraction pipeline this "
+    "runs as F.md5 over the binary image column.",
+    tags=("parse", "hash"),
+)
+def page_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("page_hash"), "n_chars").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "normalize_ocr_text",
+    """
+    SELECT doc_id,
+           UPPER(SUBSTR(norm, 1, 1)) || LOWER(SUBSTR(norm, 2)) AS norm_text
+    FROM (
+      SELECT doc_id,
+             TRIM(REGEXP_REPLACE(
+               REGEXP_REPLACE(SUBSTR(text, 1, 80), '[^0-9A-Za-zÀ-ɏ　-ヿ一-鿿 ]', '', 'g'),
+               '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    doc="P5 OCR text normalization: strip specials, collapse whitespace, "
+    "Python-style capitalize (reference modules/ocr.py:33-48).",
+    tags=("parse", "text"),
+)
+def normalize_ocr_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            P.normalize_ocr_text(F.substring(F.col("text"), 1, 80)).alias("norm_text"),
+        )
+        .orderBy("doc_id")
+    )

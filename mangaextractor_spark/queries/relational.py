@@ -1,0 +1,365 @@
+"""Relational operator surface.
+
+These mirror the reference's persistence-layer query workload
+(reference src/manga_extractor/database/db_util.py — point lookups
+:39, top-1 :96-100, range self-join :102-107, anti-join delete
+:109-138, upsert/dedup keys :59,:454-671) and its orchestration
+semantics (sequence numbering modules/ocr.py:130-146, per-run metrics
+gui/window.py:505-508), re-expressed over the TPC-H-ish testdata.
+
+Everything here is pure DataFrame/Catalyst: filters and projections
+push down to the parquet scan, small sides broadcast, aggregations get
+map-side partial combine, AQE handles skew at runtime. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from . import register
+
+DEC = "decimal(18,4)"
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style group stats; analog of per-run metrics aggregation "
+    "(reference gui/window.py:505-508, O6). Map-side partial agg + single "
+    "shuffle on the group keys; filter pushed to parquet scan. Source "
+    "columns are cast to DECIMAL *before* arithmetic so every product and "
+    "sum is exact (order-independent, bit-stable vs the oracle); one "
+    "double conversion at the end.",
+    tags=("agg", "scan"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    t = F.col("l_tax").cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(e).cast("double").alias("sum_base_price"),
+            F.sum(e * (1 - d)).cast("double").alias("sum_disc_price"),
+            F.sum(e * (1 - d) * (1 + t)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style 3-way join + top-k. customer is the small side -> "
+    "explicit broadcast (no shuffle of lineitem for that join).",
+    tags=("join", "agg", "topk"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(3,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "point_lookup",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer WHERE c_custkey = 42
+    """,
+    doc="Point filter; analog of the reference's select-by-key probes "
+    "(reference database/db_util.py:39, Q1). Predicate pushes to parquet.",
+    tags=("filter",),
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )
+
+
+@register(
+    "top1_order",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 1
+    """,
+    doc="ORDER BY ... LIMIT 1 with total-order tie-break; analog of the "
+    "last-volume probe (reference db_util.py:96-100, Q3). TakeOrdered — "
+    "no global sort materialized.",
+    tags=("topk",),
+)
+def top1_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "range_selfjoin",
+    """
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS base_order, COUNT(*) AS n_following
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND (b.o_orderdate >= a.o_orderdate OR b.o_orderpriority = '1-URGENT')
+    GROUP BY a.o_custkey, a.o_orderkey
+    ORDER BY custkey, base_order
+    """,
+    doc="Equi+theta self-join: same shape as the reference's chapter range "
+    "scan `cap.id_volume=reg.id_volume AND (cap.capitulo>=reg.capitulo OR "
+    "cap.is_extra=1)` (reference db_util.py:102-107, Q4). Shuffles once on "
+    "the equi key; the range/OR predicate evaluates post-match.",
+    tags=("join", "range"),
+)
+def range_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (
+                (F.col("b.o_orderdate") >= F.col("a.o_orderdate"))
+                | (F.col("b.o_orderpriority") == "1-URGENT")
+            ),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"), F.col("a.o_orderkey").alias("base_order"))
+        .agg(F.count(F.lit(1)).alias("n_following"))
+        .orderBy("custkey", "base_order")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Anti-join; the reference's cascading-delete reachability check "
+    "re-expressed declaratively (reference db_util.py:109-138, Q5/Q7).",
+    tags=("join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "customers_with_urgent_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c_custkey
+    """,
+    doc="Semi-join (EXISTS); analog of the reference's rowcount>0 upsert "
+    "probe (reference db_util.py:454-671, Q6 select-then-branch).",
+    tags=("join", "semi"),
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "window_first_orders",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="row_number window: the engine-level form of the reference's "
+    "in-page `sequence` counter (reference modules/ocr.py:130-146, O2) "
+    "— deterministic order key, single shuffle on the partition key.",
+    tags=("window",),
+)
+def window_first_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "running_value_per_user",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_value
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="Running-sum window over the events table (deterministic frame -> "
+    "identical sequential double adds in both engines).",
+    tags=("window",),
+)
+def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.withColumn("running_value", F.round(F.sum("value").over(w), 2))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "event_type_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Per-group metrics rollup — the lineage/metrics aggregation shape "
+    "(reference per-run elapsed metrics, gui/window.py:247-257, O6).",
+    tags=("agg",),
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, hour
+    """,
+    doc="Tumbling time-bucket aggregation (batch form; the streaming twin "
+    "uses window(ts,'1 hour') + watermark in streaming/).",
+    tags=("agg", "time"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "top_users_by_value",
+    """
+    SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+    doc="Top-k after aggregation with tie-break.",
+    tags=("agg", "topk"),
+)
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"))
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )

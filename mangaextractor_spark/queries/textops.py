@@ -1,0 +1,191 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd): a 100 TB corpus
+pass over these is a single scan with no shuffle except the final
+rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from . import register
+from ._portable import WORDS_SQL, phash60, phash60_sql, shingles3, shingles_sql, words_col
+
+LEXICONS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "y", "las", "del"],
+}
+
+
+def _score(words: F.Column, lex: list[str]) -> F.Column:
+    arr = F.array(*[F.lit(w) for w in lex])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def _score_sql(ws: str, lex: list[str]) -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+    return f"len(list_filter({ws}, w -> list_contains({lit}, w)))"
+
+
+_WS = WORDS_SQL.format(t="text")
+
+_LANGID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_score_sql('ws', LEXICONS['en'])} AS s_en,
+         {_score_sql('ws', LEXICONS['de'])} AS s_de,
+         {_score_sql('ws', LEXICONS['fr'])} AS s_fr,
+         {_score_sql('ws', LEXICONS['es'])} AS s_es
+  FROM (SELECT doc_id, lang, {_WS} AS ws FROM documents)
+)
+SELECT lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS predicted,
+       COUNT(*) AS n_docs
+FROM scored GROUP BY 1, 2 ORDER BY lang, predicted
+"""
+
+
+@register(
+    "langid_confusion",
+    _LANGID_SQL,
+    doc="Stopword-lexicon language ID with deterministic argmax tie-break, "
+    "rolled up into a (actual, predicted) confusion table.",
+    tags=("text",),
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[_score(ws, LEXICONS[k]).alias(f"s_{k}") for k in ("en", "de", "fr", "es")],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+_PUNCT_RE = "[.,!?;:]"
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_actual,
+       len({_WS}) AS n_tokens,
+       ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '{_PUNCT_RE}', '', 'g'))) * 1.0
+             / LENGTH(text), 6) AS punct_ratio,
+       ROUND({_score_sql(_WS, LEXICONS['en'])} * 1.0
+             / GREATEST(len({_WS}), 1), 6) AS stopword_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "quality_metrics",
+    _QUALITY_SQL,
+    doc="Per-document quality signals: char/token counts, punctuation "
+    "ratio, stopword ratio. Each ratio is one double division of exact "
+    "integer operands (bit-stable across engines).",
+    tags=("text",),
+)
+def quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), _PUNCT_RE, ""))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        F.size(ws).alias("n_tokens"),
+        F.round(n_punct * F.lit(1.0) / n_chars, 6).alias("punct_ratio"),
+        F.round(
+            _score(ws, LEXICONS["en"]) * F.lit(1.0) / F.greatest(F.size(ws), F.lit(1)), 6
+        ).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_TOKENS_SQL = f"""
+SELECT doc_id,
+       len({_WS}) AS ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "token_counts",
+    _TOKENS_SQL,
+    doc="Token counting: whitespace tokens + a BPE-ish regex tokenizer "
+    "(letter runs | digit runs | single punctuation).",
+    tags=("text",),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
+_FP_SQL = (
+    shingles_sql()
+    + f"""
+    SELECT doc_id,
+           MIN({phash60_sql("s")}) AS fp_min,
+           MAX({phash60_sql("s")}) AS fp_max,
+           COUNT(*) AS n_shingles
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """
+)
+
+
+@register(
+    "doc_fingerprint",
+    _FP_SQL,
+    doc="Document fingerprint: min/max 60-bit shingle hash + distinct "
+    "shingle count (winnowing-lite; the rolling-hash analog of the "
+    "reference's page md5 identity, core/processor.py:198-206).",
+    tags=("text", "sketch"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(shingles3(words_col(F.col("text")))).alias("s"))
+        .distinct()
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.min(phash60(F.col("s"))).alias("fp_min"),
+            F.max(phash60(F.col("s"))).alias("fp_max"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,67 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local mode is a stand-in for a multi-executor cluster; every knob here
+is chosen to survive a 1000-executor / 100 TB deployment:
+
+- AQE on (runtime coalesce + skew-join splitting),
+- Arrow enabled with a *bounded* batch size for image-bearing rows
+  (the analog of the reference's ``seg_limit`` pixel budget,
+  reference lib/SickZil-Machine/src/core.py:21 — OOM control is done
+  by bounding the unit of work, not by recursive splitting),
+- shuffle partitions sized to cores locally; on a real cluster this is
+  set to 2-3x total cores via --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Image rows are wide (~100KB-1MB of PNG bytes each). 64 rows/batch keeps an
+# Arrow batch under ~64MB worst case; plain text batches stay at default size
+# because the kernels re-batch internally.
+ARROW_MAX_RECORDS_PER_BATCH = 64
+
+
+def get_spark(
+    app_name: str = "mangaextractor_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` means ``local[*]``. On a real cluster this function is
+    bypassed — spark-submit provides the session and these confs come
+    from ``--conf``.
+    """
+    master = f"local[{cores}]" if cores else "local[*]"
+    n = cores or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata table. On a production deployment this becomes
+    ``spark.read.table(f"catalog.db.{name}")`` (Iceberg scan with
+    partition pruning); parquet files model the same columnar scan with
+    predicate pushdown + column pruning."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
