@@ -1,0 +1,206 @@
+"""Deterministic synthetic corpus generator — the 05_117.jpg analog.
+
+Renders N-document corpora of manga-style pages: screentone-ish
+background, white rectangular speech bubbles with black borders at
+known grid positions, deterministic 5x7 block-glyph text inside, all
+encoded as real PNG bytes addressed by ``media_ref``. Emits:
+
+- ``documents``  (doc_id, spans: list of span dicts) — the interleaved
+  text+image input table per BASELINE.json input_hint;
+- ``media``      (media_ref, image_png, width, height, page_md5);
+- ``golden_spans`` (doc_id, kind, text, media_ref, order) — computed
+  from the generation parameters (NOT by running the pipeline);
+- ``golden_regions`` (media_ref, bubble_idx, x1..y2, glyph_text,
+  reading_rank) for kernel-level unit tests.
+
+Page-count skew is zipf-ish by design: most docs get 1-5 pages, a few
+get many — exercising the salted-repartition path (north_rule).
+Everything derives from (seed, doc index): regenerating any subset is
+reproducible, which is what makes partition-granular resume testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.ordering import reading_order
+from .font import ALPHABET, GLYPH_H, GLYPH_W, render_text_block
+from .png import encode_gray_png
+
+BG_LO, BG_HI = 150, 215  # screentone range; bubbles are 255, ink is 0
+BORDER = 2
+WHITE_THRESHOLD = 240  # bubble interior detection threshold (kernels share it)
+
+_VOCAB = [
+    "KAWA", "YAMA", "SORA", "HOSHI", "KUMO", "TORI", "NEKO", "INU",
+    "HANA", "MORI", "UMI", "KAZE", "YUKI", "TSUKI", "HIKARI", "MIZU",
+    "AME", "KURO", "SHIRO", "AKAI", "AOI", "MIDORI", "GIN", "KIN",
+]
+
+
+@dataclass(frozen=True)
+class CorpusSpec:
+    n_docs: int = 64
+    seed: int = 42
+    page_w: int = 420
+    page_h: int = 600
+    scale: int = 2  # glyph pixel scale
+    max_pages: int = 24
+    p_text_span: float = 0.6
+    p_bubble: float = 0.75
+    p_empty_bubble: float = 0.12
+
+
+def _doc_rng(spec: CorpusSpec, doc_idx: int) -> np.random.Generator:
+    return np.random.Generator(np.random.PCG64(hash((spec.seed, doc_idx)) & 0x7FFFFFFF))
+
+
+def _n_pages(rng: np.random.Generator, spec: CorpusSpec) -> int:
+    # zipf-ish skew: P(n) ~ n^-1.6 truncated at max_pages
+    weights = np.arange(1, spec.max_pages + 1, dtype=np.float64) ** -1.6
+    return int(rng.choice(np.arange(1, spec.max_pages + 1), p=weights / weights.sum()))
+
+
+def _prose(rng: np.random.Generator) -> str:
+    n = int(rng.integers(3, 9))
+    return " ".join(_VOCAB[int(i)] for i in rng.integers(0, len(_VOCAB), n))
+
+
+def _bubble_word(rng: np.random.Generator) -> str:
+    n = int(rng.integers(2, 6))
+    return "".join(ALPHABET[int(i)] for i in rng.integers(0, len(ALPHABET), n))
+
+
+def _render_page(
+    rng: np.random.Generator, spec: CorpusSpec
+) -> tuple[np.ndarray, list[dict]]:
+    """Render one page; returns (uint8 image, bubble records)."""
+    w, h, s = spec.page_w, spec.page_h, spec.scale
+    # Screentone: 3px checker + deterministic per-page noise.
+    yy, xx = np.mgrid[0:h, 0:w]
+    checker = (((xx // 3) + (yy // 3)) % 2).astype(np.uint8)
+    noise = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+    img = (BG_LO + checker * 40 + noise).clip(0, BG_HI).astype(np.uint8)
+
+    n_cols = int(rng.integers(1, 4))
+    n_rows = int(rng.integers(1, 4))
+    cell_w, cell_h = w // n_cols, h // n_rows
+    bubbles: list[dict] = []
+    for gc in range(n_cols):
+        for gr in range(n_rows):
+            if rng.random() > spec.p_bubble:
+                continue
+            cx1, cy1 = gc * cell_w, gr * cell_h
+            margin_x = max(8, cell_w // 8)
+            margin_y = max(8, cell_h // 8)
+            bx1 = cx1 + margin_x + int(rng.integers(0, max(1, cell_w // 10)))
+            by1 = cy1 + margin_y + int(rng.integers(0, max(1, cell_h // 10)))
+            bx2 = cx1 + cell_w - margin_x - int(rng.integers(0, max(1, cell_w // 10)))
+            by2 = cy1 + cell_h - margin_y - int(rng.integers(0, max(1, cell_h // 10)))
+            if bx2 - bx1 < 40 or by2 - by1 < 30:
+                continue
+            img[by1:by2, bx1:bx2] = 255
+            img[by1 : by1 + BORDER, bx1:bx2] = 0
+            img[by2 - BORDER : by2, bx1:bx2] = 0
+            img[by1:by2, bx1 : bx1 + BORDER] = 0
+            img[by1:by2, bx2 - BORDER : bx2] = 0
+
+            text = ""
+            if rng.random() > spec.p_empty_bubble:
+                pad = 3 * s + BORDER
+                avail_w = (bx2 - bx1) - 2 * pad
+                avail_h = (by2 - by1) - 2 * pad
+                max_chars = avail_w // ((GLYPH_W + 1) * s)
+                max_lines = avail_h // ((GLYPH_H + 1) * s)
+                if max_chars >= 2 and max_lines >= 1:
+                    n_lines = int(rng.integers(1, min(3, max_lines) + 1))
+                    lines = []
+                    for _ in range(n_lines):
+                        words, used = [], 0
+                        while True:
+                            cand = _bubble_word(rng)
+                            need = len(cand) + (1 if words else 0)
+                            if used + need > max_chars:
+                                break
+                            words.append(cand)
+                            used += need
+                            if rng.random() < 0.4:
+                                break
+                        if words:
+                            lines.append(" ".join(words))
+                    text = "\n".join(lines)
+            if text:
+                block = render_text_block(text, s)
+                ty, tx = by1 + 3 * s + BORDER, bx1 + 3 * s + BORDER
+                region = img[ty : ty + block.shape[0], tx : tx + block.shape[1]]
+                region[block[: region.shape[0], : region.shape[1]]] = 0
+            bubbles.append(
+                {"x1": bx1, "y1": by1, "x2": bx2, "y2": by2,
+                 "glyph_text": text.replace("\n", " ")}
+            )
+    ranks = reading_order([(b["x1"], b["y1"], b["x2"], b["y2"]) for b in bubbles])
+    for b, r in zip(bubbles, ranks):
+        b["reading_rank"] = r
+    return img, bubbles
+
+
+def generate_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
+    docs_rows, media_rows, golden_rows, region_rows = [], [], [], []
+    for di in range(spec.n_docs):
+        rng = _doc_rng(spec, di)
+        doc_id = f"manga{di % 37:03d}/vol{(di // 7) % 9 + 1:02d}/ch{di:04d}"
+        n_pages = _n_pages(rng, spec)
+        spans: list[dict] = []
+        emitted: list[tuple[str, str]] = []  # (text, media_ref) in final order
+        offset = 0
+        for p in range(n_pages):
+            if rng.random() < spec.p_text_span:
+                prose = _prose(rng)
+                spans.append(
+                    {"kind": "text", "text": prose, "media_ref": "", "offset": offset}
+                )
+                emitted.append((prose, ""))
+                offset += 1
+            media_ref = f"{doc_id}#p{p + 1}"
+            img, bubbles = _render_page(rng, spec)
+            png = encode_gray_png(img)
+            media_rows.append(
+                {
+                    "media_ref": media_ref,
+                    "image_png": png,
+                    "width": img.shape[1],
+                    "height": img.shape[0],
+                    "page_md5": hashlib.md5(png).hexdigest(),
+                }
+            )
+            for bi, b in enumerate(bubbles):
+                region_rows.append({"media_ref": media_ref, "bubble_idx": bi, **b})
+            spans.append(
+                {"kind": "image", "text": "", "media_ref": media_ref, "offset": offset}
+            )
+            offset += 1
+            for b in sorted(
+                (b for b in bubbles if b["glyph_text"]), key=lambda b: b["reading_rank"]
+            ):
+                emitted.append((b["glyph_text"], media_ref))
+        docs_rows.append({"doc_id": doc_id, "spans": spans})
+        for order, (text, media_ref) in enumerate(emitted):
+            golden_rows.append(
+                {
+                    "doc_id": doc_id,
+                    "kind": "text",
+                    "text": text,
+                    "media_ref": media_ref,
+                    "order": order,
+                }
+            )
+    return {
+        "documents": pd.DataFrame(docs_rows),
+        "media": pd.DataFrame(media_rows),
+        "golden_spans": pd.DataFrame(golden_rows),
+        "golden_regions": pd.DataFrame(region_rows),
+    }

@@ -1,0 +1,324 @@
+"""Classical CV kernels (pure numpy; no cv2/scipy in this container).
+
+These are the engine's image operators — the Spark-first re-expression
+of the reference's classical segmentation path (which the reference
+itself ships alongside its TF model; north_star mandates the classical
+path). Each function is a pure ``ndarray -> ndarray``/stats kernel
+designed to be called on whole Arrow batches from ``mapInPandas`` —
+never per-row Python at the Spark level; loops here are bounded by
+image rows / component counts, not dataset size.
+
+Reference parity map (behavior cites, no code copied):
+- binarize:           modules/cleaning.py:46-48 (threshold 190, INV)
+- gaussian_blur:      modules/segmentation.py:77-87 (adaptive sigma
+                      sigma = (0.8/676)*h - 0.9), cleaning.py:15
+- label_components:   utils/helpers.py:112-116 (scipy label+find_objects)
+- average_cc_size:    utils/helpers.py:187-206 (median sqrt bbox area
+                      over CCs in (3,100) px)
+- filter_by_size:     utils/helpers.py:119-171 (0.15x..4.0x average)
+- bw_ratio_filter:    utils/helpers.py:174-184
+- rlso_close:         modules/smoothing.py:13-67 (run-length smoothing
+                      == morphological closing with 1xk / kx1 kernels,
+                      gap <= 0.75*average_size)
+- segment_into_lines: utils/helpers.py:245-280 (projection profiles)
+- text_like_stats:    modules/segmentation.py:183-263 (>=2 CCs, mean
+                      size >= 7px, aspect 0.5-2.0, spacing variance)
+- detect_bubbles:     the segment_image composition
+                      modules/segmentation.py:70-125 + detection
+                      contour pass modules/detection.py:12-44, using
+                      connected components + whiteness/aspect
+                      heuristics per north_star
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BINARY_THRESHOLD = 190  # reference core/defaults.py:13
+CC_SCALE_MIN = 0.15  # reference core/defaults.py:16
+CC_SCALE_MAX = 4.0  # reference core/defaults.py:17
+SMOOTHING_MULTIPLIER = 0.75  # reference core/defaults.py:18-19
+MIN_TEXT_SIZE = 7  # reference core/defaults.py:25
+MAX_VSPACE_VARIANCE = 5.0  # reference core/defaults.py:26
+WHITE_THRESHOLD = 240
+INK_THRESHOLD = 128
+
+
+def binarize(img: np.ndarray, threshold: int = BINARY_THRESHOLD) -> np.ndarray:
+    """K4: THRESH_BINARY_INV — ink (dark) pixels -> True."""
+    return img < threshold
+
+
+def adaptive_sigma(height: int) -> float:
+    """K5 adaptive de-screentone sigma, linear in page height."""
+    return max(0.1, (0.8 / 676.0) * height - 0.9)
+
+
+def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable gaussian on float64; truncate at 3 sigma."""
+    if sigma <= 0:
+        return img.astype(np.float64)
+    r = max(1, int(3 * sigma + 0.5))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2 * sigma * sigma))
+    k /= k.sum()
+    out = img.astype(np.float64)
+    out = _conv1d(out, k, axis=1)
+    out = _conv1d(out, k, axis=0)
+    return out
+
+
+def _conv1d(a: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
+    r = len(k) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    ap = np.pad(a, pad, mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(ap, len(k), axis=axis)
+    return win @ k
+
+
+def _slide_bool(mask: np.ndarray, k: int, axis: int, op: str, pad_value: bool) -> np.ndarray:
+    if k <= 1:
+        return mask
+    r_lo, r_hi = (k - 1) // 2, k // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r_lo, r_hi)
+    mp = np.pad(mask, pad, mode="constant", constant_values=pad_value)
+    win = np.lib.stride_tricks.sliding_window_view(mp, k, axis=axis)
+    return win.any(axis=-1) if op == "max" else win.all(axis=-1)
+
+
+def dilate(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    out = _slide_bool(mask, kw, axis=1, op="max", pad_value=False)
+    return _slide_bool(out, kh, axis=0, op="max", pad_value=False)
+
+
+def erode(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    out = _slide_bool(mask, kw, axis=1, op="min", pad_value=True)
+    return _slide_bool(out, kh, axis=0, op="min", pad_value=True)
+
+
+def close(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    return erode(dilate(mask, kh, kw), kh, kw)
+
+
+def rlso_close(mask: np.ndarray, average_size: float) -> np.ndarray:
+    """K11 run-length smoothing: bridge horizontal AND vertical gaps
+    <= 0.75*average_size; OR of both passes — implemented as two 1-D
+    closings (equivalent result to the reference's pixel loop at
+    modules/smoothing.py:13-67, vectorized)."""
+    gap = max(1, int(SMOOTHING_MULTIPLIER * average_size))
+    horiz = close(mask, 1, 2 * gap + 1)
+    vert = close(mask, 2 * gap + 1, 1)
+    return horiz | vert
+
+
+@dataclass
+class CCStats:
+    """Connected-component stats; arrays indexed by component id 0..n-1."""
+
+    n: int
+    x1: np.ndarray
+    y1: np.ndarray
+    x2: np.ndarray  # exclusive
+    y2: np.ndarray  # exclusive
+    area: np.ndarray  # pixel count
+    runs: list[list[tuple[int, int, int]]]  # per-cc list of (y, xs, xe)
+
+    def bbox_area(self) -> np.ndarray:
+        return (self.x2 - self.x1) * (self.y2 - self.y1)
+
+    def paint(self, shape: tuple[int, int], keep: np.ndarray) -> np.ndarray:
+        """Exact pixel mask of the kept components (K8 form_mask)."""
+        out = np.zeros(shape, dtype=bool)
+        for ci in np.flatnonzero(keep):
+            for y, xs, xe in self.runs[ci]:
+                out[y, xs:xe] = True
+        return out
+
+
+def _row_runs(row: np.ndarray) -> list[tuple[int, int]]:
+    idx = np.flatnonzero(row)
+    if idx.size == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate(([idx[0]], idx[breaks + 1]))
+    ends = np.concatenate((idx[breaks] + 1, [idx[-1] + 1]))
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def label_components(mask: np.ndarray) -> CCStats:
+    """K6: 8-connected components via row-run union-find (two-pass)."""
+    h, _ = mask.shape
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    all_runs: list[tuple[int, int, int, int]] = []  # (y, xs, xe, label)
+    prev: list[tuple[int, int, int]] = []  # (xs, xe, label)
+    for y in range(h):
+        cur: list[tuple[int, int, int]] = []
+        for xs, xe in _row_runs(mask[y]):
+            lbl = len(parent)
+            parent.append(lbl)
+            # 8-connectivity: overlap with [xs-1, xe+1) in previous row
+            for pxs, pxe, plbl in prev:
+                if pxs < xe + 1 and pxe > xs - 1:
+                    union(lbl, plbl)
+            cur.append((xs, xe, lbl))
+            all_runs.append((y, xs, xe, lbl))
+        prev = cur
+    roots: dict[int, int] = {}
+    for i in range(len(parent)):
+        r = find(i)
+        if r not in roots:
+            roots[r] = len(roots)
+    n = len(roots)
+    x1 = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    y1 = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    x2 = np.zeros(n, dtype=np.int64)
+    y2 = np.zeros(n, dtype=np.int64)
+    area = np.zeros(n, dtype=np.int64)
+    runs: list[list[tuple[int, int, int]]] = [[] for _ in range(n)]
+    for y, xs, xe, lbl in all_runs:
+        ci = roots[find(lbl)]
+        x1[ci] = min(x1[ci], xs)
+        y1[ci] = min(y1[ci], y)
+        x2[ci] = max(x2[ci], xe)
+        y2[ci] = max(y2[ci], y + 1)
+        area[ci] += xe - xs
+        runs[ci].append((y, xs, xe))
+    return CCStats(n=n, x1=x1, y1=y1, x2=x2, y2=y2, area=area, runs=runs)
+
+
+def average_cc_size(stats: CCStats, lo: float = 3.0, hi: float = 100.0) -> float:
+    """K7: median of sqrt(bbox area) over CCs whose sqrt size is in
+    (lo, hi) px (reference utils/helpers.py:187-206)."""
+    s = np.sqrt(stats.bbox_area().astype(np.float64))
+    sel = s[(s > lo) & (s < hi)]
+    return float(np.median(sel)) if sel.size else 0.0
+
+
+def filter_by_size(stats: CCStats, average_size: float) -> np.ndarray:
+    """K8: keep CCs with CC_SCALE_MIN*avg <= sqrt(bbox area) <=
+    CC_SCALE_MAX*avg."""
+    s = np.sqrt(stats.bbox_area().astype(np.float64))
+    return (s >= CC_SCALE_MIN * average_size) & (s <= CC_SCALE_MAX * average_size)
+
+
+def filter_by_black_white_ratio(
+    stats: CCStats, lo: float = 0.05, hi: float = 0.95
+) -> np.ndarray:
+    """K26: keep CCs whose ink/bbox-area ratio is within [lo, hi]."""
+    ratio = stats.area / np.maximum(stats.bbox_area(), 1)
+    return (ratio >= lo) & (ratio <= hi)
+
+
+def segment_into_lines(mask: np.ndarray, axis: int, threshold: int = 1) -> list[tuple[int, int]]:
+    """K12: projection-profile runs where nonzero count > threshold."""
+    profile = np.count_nonzero(mask, axis=1 - axis) > threshold
+    return _row_runs(profile)
+
+
+def text_like_stats(region: np.ndarray) -> dict:
+    """K14 heuristics over a candidate text region (bool ink mask):
+    component count, mean dims, aspect, vertical spacing variance."""
+    stats = label_components(region)
+    if stats.n == 0:
+        return {"n_cc": 0, "mean_w": 0.0, "mean_h": 0.0, "aspect": 0.0, "vspace_var": 0.0}
+    w = (stats.x2 - stats.x1).astype(np.float64)
+    h = (stats.y2 - stats.y1).astype(np.float64)
+    rows = segment_into_lines(region, axis=0)
+    gaps = [b[0] - a[1] for a, b in zip(rows, rows[1:])]
+    return {
+        "n_cc": stats.n,
+        "mean_w": float(w.mean()),
+        "mean_h": float(h.mean()),
+        "aspect": float(w.mean() / max(h.mean(), 1e-9)),
+        "vspace_var": float(np.var(gaps)) if gaps else 0.0,
+    }
+
+
+def is_text_like(region: np.ndarray) -> bool:
+    """K14/K15 accept rule: >=2 CCs, mean size >= MIN_TEXT_SIZE,
+    aspect in [0.33, 3.0], spacing variance bounded."""
+    s = text_like_stats(region)
+    return (
+        s["n_cc"] >= 2
+        and (s["mean_w"] >= MIN_TEXT_SIZE or s["mean_h"] >= MIN_TEXT_SIZE)
+        and 0.33 <= s["aspect"] <= 3.0
+        and s["vspace_var"] <= MAX_VSPACE_VARIANCE**2
+    )
+
+
+def detect_bubbles(
+    img: np.ndarray,
+    white_threshold: int = WHITE_THRESHOLD,
+    min_area: int = 600,
+    close_k: int = 9,
+) -> list[tuple[int, int, int, int]]:
+    """Bubble segmentation (K16/K20 analog): whiteness mask -> closing
+    (fills glyph-ink holes) -> connected components -> area/aspect/
+    whiteness heuristics -> interior bboxes.
+
+    The reference finds text boxes with Sobel+Otsu+morph-close+contours
+    (modules/detection.py:12-44) on top of a DNN text mask; with the
+    classical path the white bubble interior IS the high-signal region,
+    so CC + heuristics on the whiteness mask is the equivalent — and
+    contour-free (bounding boxes come straight from CC stats)."""
+    white = img >= white_threshold
+    closed = close(white, close_k, close_k)
+    stats = label_components(closed)
+    out: list[tuple[int, int, int, int]] = []
+    for ci in range(stats.n):
+        x1, y1, x2, y2 = int(stats.x1[ci]), int(stats.y1[ci]), int(stats.x2[ci]), int(stats.y2[ci])
+        w, h = x2 - x1, y2 - y1
+        if w * h < min_area:
+            continue
+        aspect = w / max(h, 1)
+        if not (0.2 <= aspect <= 10.0):
+            continue
+        box = white[y1:y2, x1:x2]
+        if box.mean() < 0.5:  # whiteness heuristic
+            continue
+        out.append((x1, y1, x2, y2))
+    return out
+
+
+@dataclass
+class PageRegion:
+    x1: int
+    y1: int
+    x2: int
+    y2: int
+    reading_rank: int
+    ink: np.ndarray  # bool mask of the text pixels inside the bubble
+
+
+def extract_page_regions(img: np.ndarray, shrink: int = 2) -> list[PageRegion]:
+    """Full page segmentation: bubbles -> reading order -> per-bubble
+    ink crops (ready for the OCR stage)."""
+    from .ordering import reading_order
+
+    rects = detect_bubbles(img)
+    ranks = reading_order(rects)
+    regions: list[PageRegion] = []
+    for (x1, y1, x2, y2), rank in zip(rects, ranks):
+        ix1, iy1 = x1 + shrink, y1 + shrink
+        ix2, iy2 = max(ix1 + 1, x2 - shrink), max(iy1 + 1, y2 - shrink)
+        ink = img[iy1:iy2, ix1:ix2] < INK_THRESHOLD
+        regions.append(PageRegion(x1, y1, x2, y2, rank, ink))
+    return regions

@@ -1,0 +1,127 @@
+"""Chunked execution with per-partition lineage + resume.
+
+The reference's resume marker is moving a processed directory to
+`concluido/` and skipping it on the next run (reference
+core/processor.py:252-254,331-338, S7) plus page-identity upsert keys
+(db_util.py:59). The engine equivalent: the expensive kernel stage is
+executed in content-addressed CHUNKS (chunk = hash-bucket of
+media_ref); each completed chunk commits (a) its OCR output to a
+chunk-partitioned table and (b) a lineage row with doc ranges, span
+counts and bubble stats. A killed run resumes by anti-joining
+completed chunk ids — partition-granular resumability per north_rule.
+
+On a cluster both tables are Iceberg (`writeTo(...).append()` with
+snapshot isolation); the sandbox uses parquet directories with the
+same layout. Chunk writes are idempotent (overwrite-by-chunk), so a
+chunk that failed mid-write is simply redone.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import number_spans, ocr_pages
+
+LINEAGE_SCHEMA = (
+    "run_id string, chunk int, status string, n_pages long, n_docs long, "
+    "n_bubbles long, n_empty long, doc_id_min string, doc_id_max string, wall_ms long"
+)
+
+
+class ChunkFailure(RuntimeError):
+    pass
+
+
+def _lineage_dir(out_dir: str) -> str:
+    return f"{out_dir}/_lineage"
+
+
+def completed_chunks(spark: SparkSession, out_dir: str) -> set[int]:
+    path = Path(_lineage_dir(out_dir))
+    if not any(path.glob("*.parquet")) and not any(path.glob("**/*.parquet")):
+        return set()
+    rows = (
+        spark.read.parquet(str(path))
+        .filter(F.col("status") == "done")
+        .select("chunk")
+        .distinct()
+        .collect()
+    )
+    return {r.chunk for r in rows}
+
+
+def run_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    out_dir: str,
+    n_chunks: int = 8,
+    engine: str = "glyph",
+    fail_on_chunk: int | None = None,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Execute the pipeline chunk-by-chunk with lineage; returns the
+    final numbered span DataFrame (also written to ``{out_dir}/spans``).
+
+    ``fail_on_chunk`` injects a failure before that chunk commits —
+    used by the resume tests (kill mid-run, rerun, verify completed
+    chunks are skipped and output equals a clean run).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spans = docs.select("doc_id", F.explode("spans").alias("sp")).select(
+        "doc_id", "sp.kind", "sp.text", "sp.media_ref", "sp.offset"
+    )
+    pages = (
+        spans.filter(F.col("kind") == "image")
+        .select("doc_id", "offset", "media_ref")
+        .join(media.select("media_ref", "image_png"), "media_ref")
+        .withColumn("chunk", F.pmod(F.xxhash64("media_ref"), F.lit(n_chunks)).cast("int"))
+    )
+    done = completed_chunks(spark, out_dir)
+    for chunk in range(n_chunks):
+        if chunk in done:
+            continue
+        if fail_on_chunk == chunk:
+            raise ChunkFailure(f"injected failure before chunk {chunk} committed")
+        t0 = time.monotonic()
+        chunk_pages = pages.filter(F.col("chunk") == chunk).drop("chunk")
+        ocr = ocr_pages(chunk_pages, engine=engine)
+        # Idempotent commit: overwrite this chunk's directory, then append
+        # the lineage row. (Iceberg: REPLACE PARTITION + snapshot append.)
+        ocr.write.mode("overwrite").parquet(f"{out_dir}/ocr/chunk={chunk}")
+        written = spark.read.parquet(f"{out_dir}/ocr/chunk={chunk}")
+        stats = written.agg(
+            F.countDistinct("media_ref").alias("n_pages"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_bubbles"),
+            F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("n_empty"),
+            F.min("doc_id").alias("doc_id_min"),
+            F.max("doc_id").alias("doc_id_max"),
+        ).first()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    chunk,
+                    "done",
+                    stats.n_pages,
+                    stats.n_docs,
+                    stats.n_bubbles,
+                    stats.n_empty or 0,
+                    stats.doc_id_min,
+                    stats.doc_id_max,
+                    wall_ms,
+                )
+            ],
+            LINEAGE_SCHEMA,
+        ).write.mode("append").parquet(_lineage_dir(out_dir))
+    ocr_all = spark.read.parquet(f"{out_dir}/ocr")
+    final = number_spans(spans, ocr_all.drop("chunk"))
+    final.write.mode("overwrite").parquet(f"{out_dir}/spans")
+    return spark.read.parquet(f"{out_dir}/spans")

@@ -1,0 +1,161 @@
+"""The extraction pipeline: interleaved documents -> ordered text spans.
+
+Spark-first layout of the reference's page loop (reference
+core/parallel_processor.py:79-117 runs segment -> detect -> OCR per
+page in a thread pool; here the same stages are one ``mapInPandas``
+Arrow stage over a salted-repartitioned page table):
+
+  documents (doc_id, spans[])                 media (media_ref, image_png)
+        |  posexplode                                    |
+  text spans        image spans --join media_ref--> pages
+        |                                               | salted repartition
+        |                              mapInPandas kernel: decode PNG ->
+        |                              bubble CC segmentation -> OCR ->
+        |                              RTL/TTB reading rank
+        |                                               |
+        +------------------- unionByName ---------------+
+                              |
+          window row_number over (doc_id | offset, bubble_rank)
+                              |
+          (doc_id, kind='text', text, media_ref, order)
+
+Scale notes (the 100 TB story):
+- the kernel stage's unit of work is a PAGE, and the repartition key is
+  (doc_id, salt-bucket-of-media_ref) — a 10,000-page doc spreads over
+  all salt buckets instead of pinning one task (north_rule skew
+  handling; AQE cannot rebalance mapInPandas input, so this is
+  explicit);
+- Arrow batches are bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+  (set low in session.py — the analog of the reference's seg_limit
+  pixel budget, lib/SickZil-Machine/src/core.py:21);
+- empty-OCR bubbles are dropped BEFORE numbering, replicating the
+  reference's `sequence` increment-only-on-text rule
+  (modules/ocr.py:137-146);
+- the final window is the only doc-keyed shuffle; everything upstream
+  is page-keyed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 16
+
+OCR_SCHEMA = (
+    "doc_id string, offset int, media_ref string, bubble_rank int, text string, "
+    "x1 int, y1 int, x2 int, y2 int"
+)
+_OCR_COLS = ["doc_id", "offset", "media_ref", "bubble_rank", "text", "x1", "y1", "x2", "y2"]
+
+
+def _kernel(engine_name: str):
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Imports inside the task: executors only need the package, and
+        # the engine is constructed once per task, not per row/batch.
+        from ..fixtures.png import decode_gray_png
+        from ..kernels.image_ops import extract_page_regions
+        from ..kernels.ocr import get_engine
+
+        engine = get_engine(engine_name)
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, offset, ref, png in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image_png"]
+            ):
+                img = decode_gray_png(bytes(png))
+                regions = extract_page_regions(img)
+                texts = engine.decode_batch([r.ink for r in regions])
+                for r, t in zip(regions, texts):
+                    rows.append(
+                        (doc_id, int(offset), ref, r.reading_rank, t, r.x1, r.y1, r.x2, r.y2)
+                    )
+            yield pd.DataFrame(rows, columns=_OCR_COLS)
+
+    return kern
+
+
+def ocr_pages(
+    pages: DataFrame,
+    engine: str = "glyph",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, offset, media_ref, image_png) -> one row per detected
+    bubble. Salted repartition defeats page-count-per-doc skew."""
+    salt = F.pmod(F.xxhash64("media_ref"), F.lit(salt_buckets))
+    key = F.concat_ws("#", F.col("doc_id"), salt.cast("string"))
+    n = num_partitions or pages.sparkSession.sparkContext.defaultParallelism
+    return pages.repartition(n, key).mapInPandas(_kernel(engine), OCR_SCHEMA)
+
+
+def extract_spans(docs: DataFrame, media: DataFrame, engine: str = "glyph") -> DataFrame:
+    """Full pipeline: returns (doc_id, kind, text, media_ref, order)."""
+    spans = docs.select("doc_id", F.explode("spans").alias("sp")).select(
+        "doc_id", "sp.kind", "sp.text", "sp.media_ref", "sp.offset"
+    )
+    pages = (
+        spans.filter(F.col("kind") == "image")
+        .select("doc_id", "offset", "media_ref")
+        .join(media.select("media_ref", "image_png"), "media_ref")
+    )
+    ocr = ocr_pages(pages, engine=engine)
+    return number_spans(spans, ocr)
+
+
+def number_spans(spans: DataFrame, ocr: DataFrame) -> DataFrame:
+    """Union text spans with OCR spans and assign the dense per-doc
+    `order` (empty OCR text dropped before numbering)."""
+    text_spans = spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "offset",
+        F.lit(0).alias("bubble_rank"),
+        "text",
+        F.lit("").alias("media_ref"),
+    )
+    ocr_spans = ocr.filter(F.col("text") != "").select(
+        "doc_id", "offset", "bubble_rank", "text", "media_ref"
+    )
+    numbered = text_spans.unionByName(ocr_spans).withColumn(
+        "order",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("offset", "bubble_rank")) - 1,
+    )
+    return numbered.select(
+        "doc_id", F.lit("text").alias("kind"), "text", "media_ref", F.col("order").cast("int")
+    )
+
+
+def assemble_documents(span_df: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Reassemble per-document ordered span arrays (O3 analog —
+    reference parallel_processor.py:180-184 sorts finished page tasks).
+
+    Two-level aggregation: partial collect per (doc_id, salt) so a
+    monster document's spans combine map-side across salt buckets
+    before the final doc-keyed merge — the groupBy twin of the salted
+    repartition used for the kernel stage."""
+    salt = F.pmod(F.xxhash64("media_ref", "order"), F.lit(salt_buckets))
+    partial = (
+        span_df.withColumn("salt", salt)
+        .groupBy("doc_id", "salt")
+        .agg(F.collect_list(F.struct("order", "kind", "text", "media_ref")).alias("part"))
+    )
+    return (
+        partial.groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("part")).alias("unordered"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_sort("unordered"),
+                lambda x: F.struct(
+                    x["kind"].alias("kind"),
+                    x["text"].alias("text"),
+                    x["media_ref"].alias("media_ref"),
+                    x["order"].alias("order"),
+                ),
+            ).alias("spans"),
+        )
+    )

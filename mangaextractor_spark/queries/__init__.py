@@ -43,7 +43,14 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 
 def _load_all() -> None:
     # Import for registration side effects.
-    from . import dedup, parsing_queries, relational, similarity, textops  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        extraction_queries,
+        parsing_queries,
+        relational,
+        similarity,
+        textops,
+    )
 
 
 _load_all()

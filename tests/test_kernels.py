@@ -1,0 +1,218 @@
+"""Unit tests for the CV kernels — modeled on the reference's
+least-mocked, most semantic tests (real numpy in/out:
+reference tests/manga_extractor/utils/test_helpers.py:36-175,
+modules/test_smoothing.py:5-40, modules/test_furigana.py:10-55).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mangaextractor_spark.fixtures.font import (
+    ALPHABET,
+    decode_text_block,
+    glyph_table,
+    render_text_block,
+)
+from mangaextractor_spark.fixtures.generator import CorpusSpec, generate_corpus
+from mangaextractor_spark.fixtures.png import decode_gray_png, encode_gray_png
+from mangaextractor_spark.kernels.image_ops import (
+    average_cc_size,
+    binarize,
+    close,
+    detect_bubbles,
+    dilate,
+    erode,
+    extract_page_regions,
+    filter_by_black_white_ratio,
+    filter_by_size,
+    gaussian_blur,
+    is_text_like,
+    label_components,
+    rlso_close,
+    segment_into_lines,
+)
+from mangaextractor_spark.kernels.ocr import GlyphOcrEngine
+from mangaextractor_spark.kernels.ordering import reading_order
+
+
+class TestFont:
+    def test_glyphs_unique_and_cover_rows_cols(self):
+        t = glyph_table()
+        assert len({g.tobytes() for g in t.values()}) == len(ALPHABET)
+        for ch, g in t.items():
+            assert g.any(axis=1).all(), f"{ch}: empty row"
+            assert g.any(axis=0).all(), f"{ch}: empty col"
+
+    @pytest.mark.parametrize("scale", [1, 2, 3])
+    def test_round_trip(self, scale):
+        for text in ["A", "HELLO WORLD", "AB1 C2\nXY 99Z"]:
+            assert decode_text_block(render_text_block(text, scale)) == text.replace("\n", " ")
+
+    def test_unknown_glyph_decodes_to_question_mark(self):
+        blk = render_text_block("AB", 2).copy()
+        blk[:, : 5 * 2] = ~blk[:, : 5 * 2]  # corrupt first glyph beyond recognition
+        out = decode_text_block(blk)
+        assert out != "AB"
+
+
+class TestPng:
+    def test_round_trip(self):
+        img = (np.arange(64 * 48).reshape(64, 48) % 251).astype(np.uint8)
+        assert (decode_gray_png(encode_gray_png(img)) == img).all()
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            decode_gray_png(b"not a png at all")
+
+
+class TestComponents:
+    def test_label_two_blobs(self):
+        m = np.zeros((20, 20), dtype=bool)
+        m[2:5, 2:6] = True
+        m[10:15, 10:14] = True
+        st = label_components(m)
+        assert st.n == 2
+        boxes = sorted(zip(st.x1, st.y1, st.x2, st.y2))
+        assert boxes == [(2, 2, 6, 5), (10, 10, 14, 15)]
+        assert sorted(st.area.tolist()) == [12, 20]
+
+    def test_diagonal_is_8_connected(self):
+        m = np.zeros((4, 4), dtype=bool)
+        m[0, 0] = m[1, 1] = m[2, 2] = True
+        assert label_components(m).n == 1
+
+    def test_paint_reconstructs_exact_pixels(self):
+        rng = np.random.default_rng(7)
+        m = rng.random((30, 30)) > 0.7
+        st = label_components(m)
+        assert (st.paint(m.shape, np.ones(st.n, dtype=bool)) == m).all()
+
+    def test_size_and_ratio_filters(self):
+        m = np.zeros((40, 60), dtype=bool)
+        m[1:3, 1:3] = True  # tiny: sqrt(4)=2
+        m[10:20, 10:20] = True  # 10x10: sqrt(100)=10
+        m[25:29, 25:55] = True  # 4x30
+        st = label_components(m)
+        avg = average_cc_size(st)
+        keep = filter_by_size(st, avg)
+        assert keep.sum() >= 1
+        ratio_keep = filter_by_black_white_ratio(st, 0.9, 1.0)
+        assert ratio_keep.all()  # all solid rects
+
+
+class TestMorphology:
+    def test_close_fills_small_hole(self):
+        m = np.ones((15, 15), dtype=bool)
+        m[7, 7] = False
+        assert close(m, 3, 3).all()
+
+    def test_dilate_erode_shapes(self):
+        m = np.zeros((10, 10), dtype=bool)
+        m[4:6, 4:6] = True
+        assert dilate(m, 3, 3).sum() == 16
+        assert erode(dilate(m, 3, 3), 3, 3).sum() == 4
+
+    def test_rlso_bridges_gap(self):
+        # reference modules/test_smoothing.py:5-40 semantics: two ink
+        # runs separated by a small gap merge into one component.
+        m = np.zeros((5, 30), dtype=bool)
+        m[2, 2:8] = True
+        m[2, 12:18] = True  # gap of 4
+        out = rlso_close(m, average_size=8.0)  # bridge <= 6
+        st = label_components(out)
+        assert st.n == 1
+
+    def test_rlso_preserves_large_gap(self):
+        m = np.zeros((5, 60), dtype=bool)
+        m[2, 2:8] = True
+        m[2, 40:46] = True
+        out = rlso_close(m, average_size=8.0)
+        assert label_components(out).n == 2
+
+
+class TestSegmentation:
+    def test_segment_into_lines(self):
+        blk = render_text_block("AB\nCD\nEF", 2)
+        rows = segment_into_lines(blk, axis=0, threshold=0)
+        assert len(rows) == 3
+
+    def test_text_like_accepts_text_rejects_blob(self):
+        text = render_text_block("HELLO WORLD", 2)
+        assert is_text_like(text)
+        blob = np.ones((40, 40), dtype=bool)
+        assert not is_text_like(blob)
+
+    def test_gaussian_blur_smooths(self):
+        img = np.zeros((30, 30))
+        img[15, 15] = 100.0
+        out = gaussian_blur(img, 2.0)
+        assert out.max() < 10.0
+        assert abs(out.sum() - 100.0) < 1.0
+
+    def test_binarize_threshold(self):
+        img = np.array([[0, 189, 190, 255]], dtype=np.uint8)
+        assert binarize(img).tolist() == [[True, True, False, False]]
+
+
+class TestReadingOrder:
+    def test_rtl_ttb(self):
+        # two columns: right column first (top then bottom), then left
+        rects = [(10, 10, 50, 40), (100, 10, 150, 40), (100, 60, 150, 90), (10, 60, 50, 90)]
+        ranks = reading_order(rects)
+        assert ranks == [2, 0, 1, 3]
+
+    def test_single_column(self):
+        rects = [(10, 60, 90, 90), (10, 10, 90, 40)]
+        assert reading_order(rects) == [1, 0]
+
+    def test_empty(self):
+        assert reading_order([]) == []
+
+
+class TestPageExtraction:
+    def test_detect_and_decode_full_corpus(self):
+        corpus = generate_corpus(CorpusSpec(n_docs=12, seed=7))
+        eng = GlyphOcrEngine()
+        regions = corpus["golden_regions"]
+        for _, m in corpus["media"].iterrows():
+            img = decode_gray_png(m["image_png"])
+            regs = extract_page_regions(img)
+            texts = eng.decode_batch([r.ink for r in regs])
+            got = [t for _, t in sorted(zip([r.reading_rank for r in regs], texts)) if t]
+            gt = regions[regions.media_ref == m["media_ref"]]
+            exp = [
+                r.glyph_text
+                for r in sorted(gt.itertuples(), key=lambda r: r.reading_rank)
+                if r.glyph_text
+            ]
+            assert got == exp, m["media_ref"]
+
+    def test_detection_iou_against_ground_truth(self):
+        corpus = generate_corpus(CorpusSpec(n_docs=6, seed=11))
+        regions = corpus["golden_regions"]
+        for _, m in corpus["media"].iterrows():
+            img = decode_gray_png(m["image_png"])
+            rects = detect_bubbles(img)
+            gt = regions[regions.media_ref == m["media_ref"]]
+            assert len(rects) == len(gt)
+            for row in gt.itertuples():
+                best = max(
+                    (_iou((row.x1, row.y1, row.x2, row.y2), r) for r in rects), default=0.0
+                )
+                assert best >= 0.5, (m["media_ref"], row.bubble_idx, best)
+
+    def test_blank_page_yields_no_regions(self):
+        img = np.full((200, 150), 180, dtype=np.uint8)
+        assert extract_page_regions(img) == []
+
+
+def _iou(a, b):
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+    ix = max(0, min(ax2, bx2) - max(ax1, bx1))
+    iy = max(0, min(ay2, by2) - max(ay1, by1))
+    inter = ix * iy
+    union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
+    return inter / union if union else 0.0

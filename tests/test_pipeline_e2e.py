@@ -1,0 +1,71 @@
+"""End-to-end span-sequence equality — the 05_117.jpg+.txt parity test
+(reference tests/test_pipeline.py:10-60) at corpus scale: the full
+Spark pipeline's (kind, text, media_ref, order) output must exactly
+equal the golden table computed from generation parameters.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mangaextractor_spark.fixtures.generator import CorpusSpec, generate_corpus
+from mangaextractor_spark.fixtures.spark_io import docs_to_spark, golden_to_spark, media_to_spark
+from mangaextractor_spark.pipeline.extract import assemble_documents, extract_spans
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(CorpusSpec(n_docs=24, seed=42))
+
+
+@pytest.fixture(scope="module")
+def result_and_golden(spark, corpus):
+    docs = docs_to_spark(spark, corpus["documents"])
+    media = media_to_spark(spark, corpus["media"])
+    result = extract_spans(docs, media).cache()
+    golden = golden_to_spark(spark, corpus["golden_spans"])
+    return result, golden
+
+
+def test_span_sequence_equality(result_and_golden):
+    result, golden = result_and_golden
+    key = ["doc_id", "kind", "text", "media_ref", "order"]
+    diff_a = result.select(key).exceptAll(golden.select(key))
+    diff_b = golden.select(key).exceptAll(result.select(key))
+    assert result.count() == golden.count()
+    assert diff_a.count() == 0, diff_a.limit(5).collect()
+    assert diff_b.count() == 0, diff_b.limit(5).collect()
+
+
+def test_orders_dense_per_doc(result_and_golden):
+    from pyspark.sql import functions as F
+
+    result, _ = result_and_golden
+    bad = (
+        result.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.min("order").alias("mn"), F.max("order").alias("mx"))
+        .filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1))
+    )
+    assert bad.count() == 0
+
+
+def test_assemble_documents_round_trip(spark, result_and_golden, corpus):
+    result, _ = result_and_golden
+    assembled = assemble_documents(result)
+    pdf = assembled.toPandas().set_index("doc_id")
+    golden = corpus["golden_spans"]
+    for doc_id, g in golden.groupby("doc_id"):
+        got = [(s["text"], s["media_ref"], s["order"]) for s in pdf.loc[doc_id, "spans"]]
+        exp = [
+            (r.text, r.media_ref, r.order)
+            for r in g.sort_values("order").itertuples()
+        ]
+        assert got == exp, doc_id
+
+
+def test_empty_docs_table(spark):
+    from mangaextractor_spark.fixtures.spark_io import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
+
+    docs = spark.createDataFrame([], DOCUMENTS_SCHEMA)
+    media = spark.createDataFrame([], MEDIA_SCHEMA)
+    assert extract_spans(docs, media).count() == 0

@@ -1,0 +1,67 @@
+"""Resume/lineage tests (north_rule: per-partition lineage rows; a
+killed job resumes at partition granularity) — the engine analog of
+the reference's `concluido/` move + is_processado flags
+(reference core/processor.py:331-338, README.md:48).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mangaextractor_spark.fixtures.generator import CorpusSpec, generate_corpus
+from mangaextractor_spark.fixtures.spark_io import docs_to_spark, media_to_spark
+from mangaextractor_spark.pipeline.checkpoint import (
+    ChunkFailure,
+    completed_chunks,
+    run_extraction,
+)
+
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus_dfs(spark):
+    corpus = generate_corpus(CorpusSpec(n_docs=12, seed=5))
+    return docs_to_spark(spark, corpus["documents"]), media_to_spark(spark, corpus["media"])
+
+
+def _collect_sorted(df):
+    return sorted(
+        (r.doc_id, r.kind, r.text, r.media_ref, r.order)
+        for r in df.select("doc_id", "kind", "text", "media_ref", "order").collect()
+    )
+
+
+def test_kill_and_resume_equals_clean_run(spark, corpus_dfs, tmp_path):
+    docs, media = corpus_dfs
+    clean = run_extraction(spark, docs, media, str(tmp_path / "clean"), n_chunks=N_CHUNKS)
+    clean_rows = _collect_sorted(clean)
+
+    out = str(tmp_path / "resumed")
+    with pytest.raises(ChunkFailure):
+        run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS, fail_on_chunk=2)
+    done_before = completed_chunks(spark, out)
+    assert done_before == {0, 1}, "chunks before the failure must be committed"
+
+    resumed = run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS)
+    assert _collect_sorted(resumed) == clean_rows
+
+    lineage = spark.read.parquet(f"{out}/_lineage")
+    rows = lineage.collect()
+    assert {r.chunk for r in rows} == set(range(N_CHUNKS))
+    # chunks 0,1 were written once (first run), 2,3 once (resume): no rework
+    assert len(rows) == N_CHUNKS
+    for r in rows:
+        assert r.status == "done"
+        assert r.n_bubbles >= 0 and r.wall_ms >= 0
+        assert r.doc_id_min <= r.doc_id_max
+
+
+def test_rerun_of_complete_output_is_noop_for_chunks(spark, corpus_dfs, tmp_path):
+    docs, media = corpus_dfs
+    out = str(tmp_path / "full")
+    run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS)
+    lineage1 = spark.read.parquet(f"{out}/_lineage").count()
+    run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS)
+    lineage2 = spark.read.parquet(f"{out}/_lineage").count()
+    assert lineage1 == lineage2 == N_CHUNKS  # no chunk re-executed
