@@ -148,59 +148,84 @@ def _render_page(
     return img, bubbles
 
 
-def generate_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
+def generate_corpus(
+    spec: CorpusSpec, processes: int | None = None
+) -> dict[str, pd.DataFrame]:
+    """Generate the corpus; ``processes>1`` fans doc generation out over
+    a multiprocessing pool (docs are independent by construction)."""
+    if processes and processes > 1:
+        from multiprocessing import Pool
+
+        with Pool(processes) as pool:
+            results = pool.starmap(
+                _generate_doc,
+                [(spec, di) for di in range(spec.n_docs)],
+                chunksize=max(1, spec.n_docs // (processes * 4)),
+            )
+    else:
+        results = [_generate_doc(spec, di) for di in range(spec.n_docs)]
     docs_rows, media_rows, golden_rows, region_rows = [], [], [], []
-    for di in range(spec.n_docs):
-        rng = _doc_rng(spec, di)
-        doc_id = f"manga{di % 37:03d}/vol{(di // 7) % 9 + 1:02d}/ch{di:04d}"
-        n_pages = _n_pages(rng, spec)
-        spans: list[dict] = []
-        emitted: list[tuple[str, str]] = []  # (text, media_ref) in final order
-        offset = 0
-        for p in range(n_pages):
-            if rng.random() < spec.p_text_span:
-                prose = _prose(rng)
-                spans.append(
-                    {"kind": "text", "text": prose, "media_ref": "", "offset": offset}
-                )
-                emitted.append((prose, ""))
-                offset += 1
-            media_ref = f"{doc_id}#p{p + 1}"
-            img, bubbles = _render_page(rng, spec)
-            png = encode_gray_png(img)
-            media_rows.append(
-                {
-                    "media_ref": media_ref,
-                    "image_png": png,
-                    "width": img.shape[1],
-                    "height": img.shape[0],
-                    "page_md5": hashlib.md5(png).hexdigest(),
-                }
-            )
-            for bi, b in enumerate(bubbles):
-                region_rows.append({"media_ref": media_ref, "bubble_idx": bi, **b})
-            spans.append(
-                {"kind": "image", "text": "", "media_ref": media_ref, "offset": offset}
-            )
-            offset += 1
-            for b in sorted(
-                (b for b in bubbles if b["glyph_text"]), key=lambda b: b["reading_rank"]
-            ):
-                emitted.append((b["glyph_text"], media_ref))
-        docs_rows.append({"doc_id": doc_id, "spans": spans})
-        for order, (text, media_ref) in enumerate(emitted):
-            golden_rows.append(
-                {
-                    "doc_id": doc_id,
-                    "kind": "text",
-                    "text": text,
-                    "media_ref": media_ref,
-                    "order": order,
-                }
-            )
+    for d, m, g, r in results:
+        docs_rows.append(d)
+        media_rows.extend(m)
+        golden_rows.extend(g)
+        region_rows.extend(r)
     return {
         "documents": pd.DataFrame(docs_rows),
         "media": pd.DataFrame(media_rows),
         "golden_spans": pd.DataFrame(golden_rows),
         "golden_regions": pd.DataFrame(region_rows),
     }
+
+
+def _generate_doc(spec: CorpusSpec, di: int) -> tuple[dict, list, list, list]:
+    media_rows: list[dict] = []
+    golden_rows: list[dict] = []
+    region_rows: list[dict] = []
+    rng = _doc_rng(spec, di)
+    doc_id = f"manga{di % 37:03d}/vol{(di // 7) % 9 + 1:02d}/ch{di:04d}"
+    n_pages = _n_pages(rng, spec)
+    spans: list[dict] = []
+    emitted: list[tuple[str, str]] = []  # (text, media_ref) in final order
+    offset = 0
+    for p in range(n_pages):
+        if rng.random() < spec.p_text_span:
+            prose = _prose(rng)
+            spans.append(
+                {"kind": "text", "text": prose, "media_ref": "", "offset": offset}
+            )
+            emitted.append((prose, ""))
+            offset += 1
+        media_ref = f"{doc_id}#p{p + 1}"
+        img, bubbles = _render_page(rng, spec)
+        png = encode_gray_png(img)
+        media_rows.append(
+            {
+                "media_ref": media_ref,
+                "image_png": png,
+                "width": img.shape[1],
+                "height": img.shape[0],
+                "page_md5": hashlib.md5(png).hexdigest(),
+            }
+        )
+        for bi, b in enumerate(bubbles):
+            region_rows.append({"media_ref": media_ref, "bubble_idx": bi, **b})
+        spans.append(
+            {"kind": "image", "text": "", "media_ref": media_ref, "offset": offset}
+        )
+        offset += 1
+        for b in sorted(
+            (b for b in bubbles if b["glyph_text"]), key=lambda b: b["reading_rank"]
+        ):
+            emitted.append((b["glyph_text"], media_ref))
+    for order, (text, media_ref) in enumerate(emitted):
+        golden_rows.append(
+            {
+                "doc_id": doc_id,
+                "kind": "text",
+                "text": text,
+                "media_ref": media_ref,
+                "order": order,
+            }
+        )
+    return {"doc_id": doc_id, "spans": spans}, media_rows, golden_rows, region_rows

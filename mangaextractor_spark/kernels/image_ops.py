@@ -80,14 +80,25 @@ def _conv1d(a: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
 
 
 def _slide_bool(mask: np.ndarray, k: int, axis: int, op: str, pad_value: bool) -> np.ndarray:
+    """Windowed any/all along one axis in O(n) via a running box sum
+    (integral image), independent of window size k."""
     if k <= 1:
         return mask
     r_lo, r_hi = (k - 1) // 2, k // 2
     pad = [(0, 0), (0, 0)]
     pad[axis] = (r_lo, r_hi)
-    mp = np.pad(mask, pad, mode="constant", constant_values=pad_value)
-    win = np.lib.stride_tricks.sliding_window_view(mp, k, axis=axis)
-    return win.any(axis=-1) if op == "max" else win.all(axis=-1)
+    mp = np.pad(mask, pad, mode="constant", constant_values=pad_value).astype(np.int32)
+    cs = np.cumsum(mp, axis=axis)
+    zeros_shape = list(cs.shape)
+    zeros_shape[axis] = 1
+    cs = np.concatenate([np.zeros(zeros_shape, dtype=np.int32), cs], axis=axis)
+    n = mask.shape[axis]
+    hi = [slice(None), slice(None)]
+    lo = [slice(None), slice(None)]
+    hi[axis] = slice(k, k + n)
+    lo[axis] = slice(0, n)
+    sums = cs[tuple(hi)] - cs[tuple(lo)]
+    return sums > 0 if op == "max" else sums == k
 
 
 def dilate(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
@@ -149,10 +160,26 @@ def _row_runs(row: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts.tolist(), ends.tolist()))
 
 
+def _all_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All row runs of a 2-D bool mask at once: (ys, xstarts, xends),
+    sorted by (y, x). One vectorized diff over the whole image instead
+    of a per-row Python loop."""
+    h, w = mask.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    sy, sx = np.nonzero(d == 1)
+    ey, ex = np.nonzero(d == -1)
+    return sy, sx, ex  # run i: row sy[i], [sx[i], ex[i])
+
+
 def label_components(mask: np.ndarray) -> CCStats:
-    """K6: 8-connected components via row-run union-find (two-pass)."""
-    h, _ = mask.shape
-    parent: list[int] = []
+    """K6: 8-connected components via row-run union-find (two-pass).
+    Run extraction is vectorized; the union loop is O(#runs), not
+    O(#pixels)."""
+    ys, xs_arr, xe_arr = _all_runs(mask)
+    n_runs = len(ys)
+    parent = list(range(n_runs))
 
     def find(i: int) -> int:
         root = i
@@ -167,20 +194,30 @@ def label_components(mask: np.ndarray) -> CCStats:
         if ri != rj:
             parent[max(ri, rj)] = min(ri, rj)
 
-    all_runs: list[tuple[int, int, int, int]] = []  # (y, xs, xe, label)
-    prev: list[tuple[int, int, int]] = []  # (xs, xe, label)
-    for y in range(h):
-        cur: list[tuple[int, int, int]] = []
-        for xs, xe in _row_runs(mask[y]):
-            lbl = len(parent)
-            parent.append(lbl)
-            # 8-connectivity: overlap with [xs-1, xe+1) in previous row
-            for pxs, pxe, plbl in prev:
-                if pxs < xe + 1 and pxe > xs - 1:
-                    union(lbl, plbl)
-            cur.append((xs, xe, lbl))
-            all_runs.append((y, xs, xe, lbl))
-        prev = cur
+    ys_l, xs_l, xe_l = ys.tolist(), xs_arr.tolist(), xe_arr.tolist()
+    prev_start = prev_end = 0  # run-index range of the previous row
+    row_start = 0
+    i = 0
+    while i < n_runs:
+        y = ys_l[i]
+        row_start = i
+        while i < n_runs and ys_l[i] == y:
+            i += 1
+        # union with previous row's runs when rows are adjacent
+        if prev_end > prev_start and ys_l[prev_start] == y - 1:
+            p = prev_start
+            for c in range(row_start, i):
+                cxs, cxe = xs_l[c], xe_l[c]
+                # 8-connectivity: overlap with [cxs-1, cxe+1)
+                while p < prev_end and xe_l[p] < cxs:  # strictly left, no touch
+                    p += 1
+                q = p
+                while q < prev_end and xs_l[q] <= cxe:  # touches or overlaps
+                    if xe_l[q] >= cxs:
+                        union(c, q)
+                    q += 1
+        prev_start, prev_end = row_start, i
+    all_runs = [(ys_l[r], xs_l[r], xe_l[r], r) for r in range(n_runs)]
     roots: dict[int, int] = {}
     for i in range(len(parent)):
         r = find(i)
@@ -268,7 +305,7 @@ def detect_bubbles(
     img: np.ndarray,
     white_threshold: int = WHITE_THRESHOLD,
     min_area: int = 600,
-    close_k: int = 9,
+    close_k: int = 0,
 ) -> list[tuple[int, int, int, int]]:
     """Bubble segmentation (K16/K20 analog): whiteness mask -> closing
     (fills glyph-ink holes) -> connected components -> area/aspect/
@@ -278,9 +315,13 @@ def detect_bubbles(
     (modules/detection.py:12-44) on top of a DNN text mask; with the
     classical path the white bubble interior IS the high-signal region,
     so CC + heuristics on the whiteness mask is the equivalent — and
-    contour-free (bounding boxes come straight from CC stats)."""
+    contour-free (bounding boxes come straight from CC stats).
+
+    ``close_k=0`` skips hole-filling: glyph-ink holes inside a bubble
+    neither disconnect the white component nor change its bbox, so the
+    closing only matters for noisy real-world scans (enable there)."""
     white = img >= white_threshold
-    closed = close(white, close_k, close_k)
+    closed = close(white, close_k, close_k) if close_k > 1 else white
     stats = label_components(closed)
     out: list[tuple[int, int, int, int]] = []
     for ci in range(stats.n):

@@ -86,23 +86,43 @@ def ocr_pages(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """(doc_id, offset, media_ref, image_png) -> one row per detected
-    bubble. Salted repartition defeats page-count-per-doc skew."""
+    bubble. Salted repartition defeats page-count-per-doc skew.
+    ``num_partitions=0`` skips the repartition entirely (use when the
+    input is already page-granular hash-partitioned, e.g. after a
+    shuffle join on media_ref)."""
+    if num_partitions == 0:
+        return pages.mapInPandas(_kernel(engine), OCR_SCHEMA)
     salt = F.pmod(F.xxhash64("media_ref"), F.lit(salt_buckets))
     key = F.concat_ws("#", F.col("doc_id"), salt.cast("string"))
-    n = num_partitions or pages.sparkSession.sparkContext.defaultParallelism
+    # 3x parallelism: small enough tasks to balance residual salt-bucket
+    # skew, large enough to amortize Python-worker startup per task.
+    n = num_partitions or 3 * pages.sparkSession.sparkContext.defaultParallelism
     return pages.repartition(n, key).mapInPandas(_kernel(engine), OCR_SCHEMA)
 
 
-def extract_spans(docs: DataFrame, media: DataFrame, engine: str = "glyph") -> DataFrame:
-    """Full pipeline: returns (doc_id, kind, text, media_ref, order)."""
+def extract_spans(
+    docs: DataFrame,
+    media: DataFrame,
+    engine: str = "glyph",
+    broadcast_meta: bool = True,
+) -> DataFrame:
+    """Full pipeline: returns (doc_id, kind, text, media_ref, order).
+
+    Image bytes cross the wire exactly ONCE (the salted repartition
+    feeding the kernel): the span metadata side of the media join is
+    broadcast, so the heavy media table is never shuffled for the join
+    itself. At 10^12-doc scale where the metadata exceeds broadcast
+    limits, set ``broadcast_meta=False`` — the join then shuffles both
+    sides by media_ref, which is already page-granular (a monster doc's
+    pages hash uniformly), and ``ocr_pages`` can skip its repartition
+    via ``num_partitions=0``."""
     spans = docs.select("doc_id", F.explode("spans").alias("sp")).select(
         "doc_id", "sp.kind", "sp.text", "sp.media_ref", "sp.offset"
     )
-    pages = (
-        spans.filter(F.col("kind") == "image")
-        .select("doc_id", "offset", "media_ref")
-        .join(media.select("media_ref", "image_png"), "media_ref")
-    )
+    meta = spans.filter(F.col("kind") == "image").select("doc_id", "offset", "media_ref")
+    if broadcast_meta:
+        meta = F.broadcast(meta)
+    pages = media.select("media_ref", "image_png").join(meta, "media_ref")
     ocr = ocr_pages(pages, engine=engine)
     return number_spans(spans, ocr)
 

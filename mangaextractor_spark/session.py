@@ -52,7 +52,10 @@ def get_spark(
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = driver-only: the heap holds cache + shuffle +
+        # Arrow buffers for all cores; undersizing it turns 32-way runs
+        # into GC thrash (measured: 530 -> 1538 pages/s going 8g -> 48g).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
