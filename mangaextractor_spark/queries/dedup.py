@@ -206,7 +206,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN CAST(ROUND(POW(2, b)) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(ROUND(POW(2, b)) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id ORDER BY doc_id
     """.replace("{ws}", "list_filter(string_split(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"),
     doc="16-bit SimHash over distinct word tokens (portable hash; bit b "
