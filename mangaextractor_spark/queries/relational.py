@@ -363,3 +363,78 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value"), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             'base' AS src, 0 AS priority
+      FROM orders
+    ),
+    updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+             'update' AS src, 1 AS priority
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    inserts AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+             'N' AS o_orderstatus, o_totalprice, 'insert' AS src, 1 AS priority
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    u AS (
+      SELECT * FROM base
+      UNION ALL SELECT * FROM updates
+      UNION ALL SELECT * FROM inserts
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY priority DESC) AS rn
+      FROM u
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, src
+    FROM ranked WHERE rn = 1
+    ORDER BY o_orderkey
+    """,
+    doc="Upsert / MERGE INTO semantics: latest-wins per key over base ∪ "
+    "updates ∪ inserts, expressed as a priority window (the reference's "
+    "select-then-insert/update upsert, db_util.py:454-671 / Q6). On an "
+    "Iceberg sink this is `MERGE INTO target USING updates ON key WHEN "
+    "MATCHED UPDATE WHEN NOT MATCHED INSERT`; the windowed form is the "
+    "engine-agnostic equivalent and shuffles once on the merge key.",
+    tags=("relational", "merge"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    base = o.select(*cols, F.lit("base").alias("src"), F.lit(0).alias("priority"))
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit("update").alias("src"),
+            F.lit(1).alias("priority"),
+        )
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit("insert").alias("src"),
+            F.lit(1).alias("priority"),
+        )
+    )
+    u = base.unionByName(updates).unionByName(inserts)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("priority"))
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "src")
+        .orderBy("o_orderkey")
+    )
