@@ -3,31 +3,66 @@
 The reference's only dedup is page identity ``(id_capitulo, nome,
 hash_pagina)`` (reference database/db_util.py:59, Q8); a 100 TB corpus
 engine needs the full ladder: exact hash, n-gram Jaccard, MinHash+LSH,
-SimHash. All are expressed as shuffles on content-derived keys —
-shingle joins co-partition by shingle, LSH turns O(n^2) similarity
-into an equi-join on band buckets (the 100 TB-scale path: candidate
-pairs only, never a cross join).
+SimHash (plus embedding-cosine near-dup in queries/similarity.py).
+
+Scale design: every per-document sketch (fingerprint, MinHash
+signature, SimHash) is computed **map-side** with array higher-order
+functions — `array_distinct` -> `transform` -> `array_min`/`aggregate`
+— so the only shuffles left are the candidate-pair equi-joins
+themselves. Exploding shingles into rows and re-grouping would shuffle
+the whole corpus once per sketch; at 100 TB that is the difference
+between a scan-bound job and a shuffle-bound one. MinHash uses one
+md5 per shingle plus 8 XOR mixes (a standard cheap permutation
+family) instead of 8 md5s.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, spread
 from . import register
 from ._portable import phash60, phash60_sql, shingles3, shingles_sql, words_col
 
 N_PERMS = 8
 BAND_SIZE = 4  # => 2 bands
 
+# Per-permutation XOR mixers: 60-bit constants derived from md5 so both
+# engines inline the identical literals (computed once here, embedded in
+# the SQL text and the Spark plan).
+XOR_CONSTS = [
+    int(hashlib.md5(f"perm-{p}".encode()).hexdigest()[:15], 16) for p in range(N_PERMS)
+]
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+# DuckDB-side shingle list (list form, not UNNEST -> stays per-row):
+# word 3-grams over the portable tokenization.
+_SHINGLE_LIST_SQL = (
+    "list_transform(generate_series(1, len(ws) - 2),"
+    " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+)
+_WS_SQL = (
+    "list_filter(string_split(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' '),"
+    " x -> x <> '')"
+)
+
+
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hl: array<long>) — 60-bit hashes of the doc's shingles,
+    duplicates preserved; computed entirely map-side.
+
+    The short-doc filter runs on the cheap token count BEFORE the hash
+    projection, and ``hl`` is aliased in its own projection so Catalyst
+    keeps it materialized (a non-cheap alias referenced N times is not
+    collapsed into its consumers) — the md5 pass runs once, not once
+    per downstream min/band expression."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    hl = F.transform(shingles3(words_col(F.col("text"))), phash60)
     return (
-        d.select("doc_id", F.explode(shingles3(words_col(F.col("text")))).alias("s"))
-        .distinct()
+        d.filter(F.size(words_col(F.col("text"))) >= 3)
+        .select("doc_id", hl.alias("hl"))
     )
 
 
@@ -72,18 +107,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a_id, b_id
     """,
     doc="Near-dup pairs by word-3-gram Jaccard >= 0.2. Inverted-index join "
-    "on the shingle (co-partitions by shingle — no cross join); at 100 TB "
-    "frequent shingles are the skew risk -> the LSH variant below is the "
-    "scale path.",
+    "on the shingle — co-partitions by shingle, never a cross join. The "
+    "Spark side dedups shingles per doc map-side (array_distinct) and "
+    "joins on the 60-bit shingle hash, so the shuffle carries (doc_id, "
+    "long) rows instead of strings; identical to the string oracle "
+    "barring a 2^-60 md5-prefix collision. At 100 TB frequent shingles "
+    "are the skew risk -> the LSH variant below is the scale path.",
     tags=("dedup", "join"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    d = spread(load_table(spark, sf_dir, "documents"))
+    arr = d.filter(F.size(words_col(F.col("text"))) >= 3).select(
+        "doc_id", F.array_distinct(shingles3(words_col(F.col("text")))).alias("arr")
+    )
+    sh = arr.select("doc_id", F.explode(F.transform("arr", phash60)).alias("h"))
+    sz = arr.select("doc_id", F.size("arr").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -91,59 +133,64 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sz.alias("sb")
     jac = F.col("n_common") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
     return (
-        inter.join(sa, F.col("a_id") == F.col("sa.doc_id"))
-        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        inter.join(F.broadcast(sa), F.col("a_id") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("b_id") == F.col("sb.doc_id"))
         .filter(jac >= 0.2)
         .select("a_id", "b_id", "n_common", F.round(jac, 6).alias("jaccard"))
-        .orderBy("a_id", "b_id")
     )
 
 
-_MINHASH_SQL = (
-    shingles_sql()
-    + f"""
-    SELECT doc_id, p AS perm,
-           MIN({phash60_sql("CAST(p AS VARCHAR) || ':' || s")}) AS minhash
-    FROM sh CROSS JOIN UNNEST(generate_series(0, {N_PERMS - 1})) AS t(p)
-    GROUP BY doc_id, p
-    ORDER BY doc_id, perm
-    """
-)
+_XOR_LIST_SQL = "[" + ", ".join(str(c) for c in XOR_CONSTS) + "]"
+
+_MINHASH_CTE = f"""
+    WITH w AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform({_SHINGLE_LIST_SQL}, s -> {phash60_sql('s')}) AS hl
+      FROM w WHERE len(ws) >= 3
+    ),
+    mh AS (
+      SELECT doc_id, p AS perm,
+             list_min(list_transform(hl, h -> xor(h, {_XOR_LIST_SQL}[p + 1]))) AS minhash
+      FROM hs CROSS JOIN UNNEST(generate_series(0, {N_PERMS - 1})) AS t(p)
+    )
+"""
+
+
+def _minhash_cols() -> list[F.Column]:
+    """One min-over-XOR-mix per permutation, all map-side."""
+    return [
+        F.array_min(F.transform("hl", lambda h: h.bitwiseXOR(F.lit(XOR_CONSTS[p]))))
+        for p in range(N_PERMS)
+    ]
 
 
 @register(
     "minhash_signatures",
-    _MINHASH_SQL,
+    _MINHASH_CTE
+    + """
+    SELECT doc_id, perm, minhash FROM mh ORDER BY doc_id, perm
+    """,
     doc=f"MinHash signatures ({N_PERMS} permutations) over word-3-gram "
-    "shingles, portable 60-bit hash. One shuffle: groupBy(doc_id, perm) "
-    "with map-side min combine. The Arrow-kernel twin computes all perms "
-    "in one pass for the 100 TB path.",
+    "shingles. One md5 per shingle + per-perm XOR mixes, min taken "
+    "map-side over the shingle array — zero shuffles (the final orderBy "
+    "is presentation only). The exploded (doc_id, perm, minhash) shape "
+    "is the driver-checkable view of the signature.",
     tags=("dedup", "sketch"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df(spark, sf_dir)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("perm")
-    h = phash60(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("s")))
-    return (
-        sh.select("doc_id", "s", perms)
-        .select("doc_id", "perm", h.alias("h"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
-        .orderBy("doc_id", "perm")
+    hs = _hashed_shingles(spark, sf_dir)
+    mins = F.array(*_minhash_cols())
+    return hs.select("doc_id", F.posexplode(mins).alias("perm", "minhash")).select(
+        "doc_id", F.col("perm").cast("long").alias("perm"), "minhash"
     )
 
 
 @register(
     "minhash_lsh_pairs",
-    shingles_sql()
+    _MINHASH_CTE
     + f"""
-    , mh AS (
-      SELECT doc_id, p AS perm,
-             MIN({phash60_sql("CAST(p AS VARCHAR) || ':' || s")}) AS minhash
-      FROM sh CROSS JOIN UNNEST(generate_series(0, {N_PERMS - 1})) AS t(p)
-      GROUP BY doc_id, p
-    ),
-    sig AS (
+    , sig AS (
       SELECT doc_id, perm // {BAND_SIZE} AS band,
              STRING_AGG(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS band_sig
       FROM mh GROUP BY doc_id, perm // {BAND_SIZE}
@@ -155,24 +202,33 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="LSH candidate pairs: band the minhash signature "
     f"({N_PERMS // BAND_SIZE} bands x {BAND_SIZE} rows), equi-join on "
-    "(band, band_signature). This is how near-dup scales to 100 TB: the "
-    "quadratic similarity search becomes a shuffle on band buckets.",
+    "(band, band_signature). Band signatures are assembled map-side from "
+    "the per-doc signature array (no groupBy); the only shuffles are the "
+    "band-bucket join and the pair distinct. This is how near-dup scales "
+    "to 100 TB: the quadratic similarity search becomes a shuffle on "
+    "band buckets.",
     tags=("dedup", "sketch", "join"),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = minhash_signatures(spark, sf_dir)
-    sig = (
-        mh.withColumn("band", (F.col("perm") / BAND_SIZE).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "-",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                    lambda x: x["minhash"].cast("string"),
-                ),
-            ).alias("band_sig")
-        )
+    hs = _hashed_shingles(spark, sf_dir)
+    mins = _minhash_cols()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        m.cast("string")
+                        for m in mins[band * BAND_SIZE : (band + 1) * BAND_SIZE]
+                    ],
+                ).alias("band_sig"),
+            )
+            for band in range(N_PERMS // BAND_SIZE)
+        ]
+    )
+    sig = hs.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
     a = sig.alias("a")
     b = sig.alias("b")
@@ -185,59 +241,51 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
-        .orderBy("a_id", "b_id")
     )
+
+
+def _simhash_bits_sql() -> str:
+    terms = []
+    for b in range(16):
+        vote = (
+            f"list_sum(list_transform(hs, x -> CASE WHEN (x >> {b}) & 1 = 1"
+            " THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END")
+    return " + ".join(terms)
 
 
 @register(
     "simhash",
     f"""
-    WITH w AS (
-      SELECT doc_id, {phash60_sql('tok')} AS h
-      FROM (
-        SELECT DISTINCT doc_id, UNNEST({{ws}}) AS tok FROM documents
-      )
-    ),
-    bits AS (
-      SELECT doc_id, b,
-             SUM(CASE WHEN SUBSTR(LPAD(BIN(h), 60, '0'), 60 - b, 1) = '1'
-                      THEN 1 ELSE -1 END) AS s
-      FROM w CROSS JOIN UNNEST(generate_series(0, 15)) AS t(b)
-      GROUP BY doc_id, b
+    WITH w AS (SELECT doc_id, list_distinct({_WS_SQL}) AS toks FROM documents),
+    h AS (
+      SELECT doc_id, list_transform(toks, t -> {phash60_sql('t')}) AS hs
+      FROM w WHERE len(toks) > 0
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN CAST(ROUND(POW(2, b)) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id ORDER BY doc_id
-    """.replace("{ws}", "list_filter(string_split(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"),
-    doc="16-bit SimHash over distinct word tokens (portable hash; bit b "
-    "read from the zero-padded binary string so Spark and DuckDB agree "
-    "without shift-by-column support). Majority vote per bit position.",
+    SELECT doc_id, CAST({_simhash_bits_sql()} AS BIGINT) AS simhash
+    FROM h ORDER BY doc_id
+    """,
+    doc="16-bit SimHash over distinct word tokens (portable 60-bit hash; "
+    "bit b = (h >> b) & 1). Majority vote per bit position, computed "
+    "map-side by 16 array aggregates per doc — no explode, no shuffle; "
+    "at 100 TB the sketch costs exactly one scan.",
     tags=("dedup", "sketch"),
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.explode(words_col(F.col("text"))).alias("tok"))
-        .distinct()
-        .select("doc_id", phash60(F.col("tok")).alias("h"))
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.array_distinct(words_col(F.col("text")))
+    base = d.filter(F.size(words_col(F.col("text"))) > 0).select(
+        "doc_id", F.transform(toks, phash60).alias("hs")
     )
-    bits = (
-        toks.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
-        .withColumn(
-            "bitval",
-            F.lpad(F.bin(F.col("h")), 60, "0").substr(F.lit(60) - F.col("b"), F.lit(1)),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum(F.when(F.col("bitval") == "1", 1).otherwise(-1)).alias("s"))
+    vote = lambda b: F.aggregate(  # noqa: E731
+        "hs",
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
     )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.round(F.pow(F.lit(2), F.col("b"))).cast("long")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("simhash")
-        )
-        .orderBy("doc_id")
+    sim = sum(
+        [F.when(vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(16)],
+        F.lit(0),
     )
+    return base.select("doc_id", sim.cast("long").alias("simhash"))

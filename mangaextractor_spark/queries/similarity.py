@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, spread
 from . import register
 
 N_QUERIES = 16
@@ -63,7 +63,7 @@ WHERE rank <= {TOP_K} ORDER BY q_id, rank
     tags=("similarity",),
 )
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
@@ -114,7 +114,7 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     tags=("similarity", "approx"),
 )
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     dim = e.select(F.size("emb")).first()[0]
@@ -207,7 +207,7 @@ WHERE rank <= {TOP_K} ORDER BY q_id, rank
     tags=("similarity", "approx"),
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
@@ -279,7 +279,7 @@ NEAR_DUP_SIM = 0.4
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))

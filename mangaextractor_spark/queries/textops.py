@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, spread
 from . import register
 from ._portable import WORDS_SQL, phash60, phash60_sql, shingles3, shingles_sql, words_col
 
@@ -171,21 +171,22 @@ _FP_SQL = (
     _FP_SQL,
     doc="Document fingerprint: min/max 60-bit shingle hash + distinct "
     "shingle count (winnowing-lite; the rolling-hash analog of the "
-    "reference's page md5 identity, core/processor.py:198-206).",
+    "reference's page md5 identity, core/processor.py:198-206). Computed "
+    "map-side — array_distinct + transform + array_min/max per doc, no "
+    "explode and no shuffle; one scan at any corpus size.",
     tags=("text", "sketch"),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", F.explode(shingles3(words_col(F.col("text")))).alias("s"))
-        .distinct()
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.filter(F.size(words_col(F.col("text"))) >= 3).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(shingles3(words_col(F.col("text")))), phash60
+        ).alias("hs"),
     )
-    return (
-        sh.groupBy("doc_id")
-        .agg(
-            F.min(phash60(F.col("s"))).alias("fp_min"),
-            F.max(phash60(F.col("s"))).alias("fp_max"),
-            F.count(F.lit(1)).alias("n_shingles"),
-        )
-        .orderBy("doc_id")
+    return base.select(
+        "doc_id",
+        F.array_min("hs").alias("fp_min"),
+        F.array_max("hs").alias("fp_max"),
+        F.size("hs").cast("long").alias("n_shingles"),
     )

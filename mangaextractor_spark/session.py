@@ -68,3 +68,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     partition pruning); parquet files model the same columnar scan with
     predicate pushdown + column pruning."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spread(df, parallelism: int | None = None):
+    """Round-robin repartition a compute-bound input across the cluster.
+
+    A small or single-row-group file scan pins every downstream map-side
+    stage to one task regardless of cores; on the 100 TB table the scan
+    itself splits, but sizing a CPU-heavy per-row stage (md5 sketches,
+    dot products, image kernels) independently of scan splits still
+    takes an explicit repartition — the rows are tiny relative to the
+    compute, so this shuffle is noise while the parallelism it buys is
+    the whole game (cf. the salted repartition in pipeline/extract).
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(parallelism or sc.defaultParallelism)
