@@ -106,13 +106,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.2
     ORDER BY a_id, b_id
     """,
-    doc="Near-dup pairs by word-3-gram Jaccard >= 0.2. Inverted-index join "
-    "on the shingle — co-partitions by shingle, never a cross join. The "
-    "Spark side dedups shingles per doc map-side (array_distinct) and "
-    "joins on the 60-bit shingle hash, so the shuffle carries (doc_id, "
-    "long) rows instead of strings; identical to the string oracle "
-    "barring a 2^-60 md5-prefix collision. At 100 TB frequent shingles "
-    "are the skew risk -> the LSH variant below is the scale path.",
+    doc="Near-dup pairs by word-3-gram Jaccard >= 0.2, via posting lists: "
+    "shingle hashes grouped once (one shuffle on the 60-bit hash), pairs "
+    "emitted from each sorted posting list, counted per pair. Compared "
+    "with a self-join this computes the shingle pipeline ONCE and never "
+    "materializes the row-level a x b join; identical to the string "
+    "oracle barring a 2^-60 md5-prefix collision. At 100 TB a frequent "
+    "shingle's posting list is the skew risk (quadratic pair fan-out) — "
+    "production caps posting-list length (stop-shingles), and the LSH "
+    "variant below is the scale path.",
     tags=("dedup", "join"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,11 +124,24 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = arr.select("doc_id", F.explode(F.transform("arr", phash60)).alias("h"))
     sz = arr.select("doc_id", F.size("arr").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    posting = (
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        posting.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sz.alias("sa")

@@ -272,16 +272,51 @@ NEAR_DUP_SIM = 0.4
     """,
     doc=f"Embedding-cosine near-duplicate pairs (sim >= {NEAR_DUP_SIM}, "
     "rounded 6dp before the threshold so both engines agree at the "
-    "boundary). Exact all-pairs here — the correctness baseline the "
-    "approximate paths (lsh_ann_topk / ivf_ann_topk bucketing) are "
-    "measured against; at 100 TB the same threshold filter runs after "
-    "LSH-band candidate generation instead of a cross join.",
+    "boundary). Two phases: (1) vectorized numpy candidate pruning in "
+    "mapInPandas — each Arrow batch matmuls against the broadcast "
+    "normalized matrix with an epsilon-widened threshold, so the O(n^2) "
+    "sweep runs at BLAS speed instead of per-pair expression "
+    "interpretation; (2) survivors (a few hundred) are rescored with the "
+    "sequential-sum Spark expression that is bit-identical to the DuckDB "
+    "oracle, so numpy's pairwise-summation ulp drift cannot flip a "
+    "boundary. The exact all-pairs semantics is the correctness baseline "
+    "for the approximate paths (lsh_ann_topk / ivf_ann_topk); at 100 TB "
+    "the same threshold filter runs after LSH-band candidate generation "
+    "instead of an all-pairs sweep.",
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
+    # Broadcast the L2-normalized matrix (the "small dim table" of this
+    # join: n_vectors x dim doubles, far below the corpus itself).
+    local = e.toPandas()
+    ids = np.asarray(local["vec_id"], dtype=np.int64)
+    mat = np.vstack(local["emb"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    margin = 1e-9  # wider than any pairwise-vs-sequential summation drift
+
+    def candidates(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.vstack(pdf["emb"].to_numpy())
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ b_mat.T
+            qi, bj = np.nonzero(sims >= NEAR_DUP_SIM - margin)
+            a = np.asarray(pdf["vec_id"], dtype=np.int64)[qi]
+            b = b_ids[bj]
+            keep = a < b
+            yield pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+
+    cand = e.mapInPandas(candidates, "a_id long, b_id long")
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
     a = n.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("nrm").alias("a_nrm")
@@ -290,10 +325,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), F.col("nrm").alias("b_nrm")
     )
     sim = F.round(_dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 6)
+    # Both joins broadcast the tiny side (candidate pairs, then the
+    # candidate-enriched intermediate); the embedding table itself only
+    # ever streams.
+    half = a.join(F.broadcast(cand), "a_id")
     return (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        b.join(F.broadcast(half), "b_id")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= NEAR_DUP_SIM)
         .select("a_id", "b_id", "sim")
-        .orderBy("a_id", "b_id")
     )
