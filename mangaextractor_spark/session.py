@@ -56,6 +56,12 @@ def get_spark(
         # Arrow buffers for all cores; undersizing it turns 32-way runs
         # into GC thrash (measured: 530 -> 1538 pages/s going 8g -> 48g).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Image-bearing scans need more input splits than the 128m
+        # default yields (a 16m split is ~140 pages): the kernel stage
+        # maps directly over scan partitions, so split count IS its
+        # parallelism. Relational tables here are tiny either way; on a
+        # 100 TB cluster this comes back up via --conf.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
