@@ -438,3 +438,46 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "src")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "cascade_delete_remaining",
+    """
+    WITH flagged_orders AS (
+      SELECT o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    )
+    SELECT l.l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM flagged_orders)
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    doc="Multi-way cascading delete (reference Q5/Q7: delete vocab/texts/"
+    "pages reachable from a chapter via joins, db_util.py:109-138, "
+    "576-581): the surviving rows are the left_anti join of lineitem "
+    "against the customer->orders subtree, then rolled up. The flagged "
+    "key set is small -> broadcast anti join, no shuffle of the fact "
+    "table; on Iceberg the same plan drives `MERGE ... WHEN MATCHED "
+    "DELETE`.",
+    tags=("relational", "antijoin"),
+)
+def cascade_delete_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    flagged = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    surviving = li.join(
+        F.broadcast(flagged), li.l_orderkey == flagged.o_orderkey, "left_anti"
+    )
+    return (
+        surviving.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
