@@ -53,11 +53,12 @@ OCR_SCHEMA = (
 _OCR_COLS = ["doc_id", "offset", "media_ref", "bubble_rank", "text", "x1", "y1", "x2", "y2"]
 
 
-def _kernel(engine_name: str):
+def _kernel(engine_name: str, furigana: bool = False):
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Imports inside the task: executors only need the package, and
         # the engine is constructed once per task, not per row/batch.
         from ..fixtures.png import decode_gray_png
+        from ..kernels.furigana import remove_furigana
         from ..kernels.image_ops import extract_page_regions
         from ..kernels.ocr import get_engine
 
@@ -69,7 +70,18 @@ def _kernel(engine_name: str):
             ):
                 img = decode_gray_png(bytes(png))
                 regions = extract_page_regions(img)
-                texts = engine.decode_batch([r.ink for r in regions])
+                if furigana:
+                    # K18/K19 + the reference's empty-retry rule
+                    # (modules/ocr.py:147-167): OCR the furigana-stripped
+                    # crop; fall back to the unfiltered crop when empty.
+                    texts = engine.decode_batch([remove_furigana(r.ink) for r in regions])
+                    retry_idx = [i for i, t in enumerate(texts) if not t]
+                    if retry_idx:
+                        retried = engine.decode_batch([regions[i].ink for i in retry_idx])
+                        for i, t in zip(retry_idx, retried):
+                            texts[i] = t
+                else:
+                    texts = engine.decode_batch([r.ink for r in regions])
                 for r, t in zip(regions, texts):
                     rows.append(
                         (doc_id, int(offset), ref, r.reading_rank, t, r.x1, r.y1, r.x2, r.y2)
@@ -84,6 +96,7 @@ def ocr_pages(
     engine: str = "glyph",
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     num_partitions: int | None = None,
+    furigana: bool = False,
 ) -> DataFrame:
     """(doc_id, offset, media_ref, image_png) -> one row per detected
     bubble.
@@ -105,14 +118,14 @@ def ocr_pages(
     the media scan's split count.
     """
     if num_partitions == 0:
-        return pages.mapInPandas(_kernel(engine), OCR_SCHEMA)
+        return pages.mapInPandas(_kernel(engine, furigana), OCR_SCHEMA)
     sc = pages.sparkSession.sparkContext
     salt = F.pmod(F.xxhash64("media_ref"), F.lit(salt_buckets))
     key = F.concat_ws("#", F.col("doc_id"), salt.cast("string"))
     # 3x parallelism: small enough tasks to balance residual salt-bucket
     # skew, large enough to amortize Python-worker startup per task.
     n = num_partitions or 3 * sc.defaultParallelism
-    return pages.repartition(n, key).mapInPandas(_kernel(engine), OCR_SCHEMA)
+    return pages.repartition(n, key).mapInPandas(_kernel(engine, furigana), OCR_SCHEMA)
 
 
 def extract_spans(
@@ -120,6 +133,7 @@ def extract_spans(
     media: DataFrame,
     engine: str = "glyph",
     broadcast_meta: bool = True,
+    furigana: bool = False,
 ) -> DataFrame:
     """Full pipeline: returns (doc_id, kind, text, media_ref, order).
 
@@ -144,7 +158,9 @@ def extract_spans(
     # kill doc-grouping skew). media.rdd on the bare scan/cache only
     # lists files, it runs no job.
     well_split = media.rdd.getNumPartitions() >= media.sparkSession.sparkContext.defaultParallelism
-    ocr = ocr_pages(pages, engine=engine, num_partitions=0 if well_split else None)
+    ocr = ocr_pages(
+        pages, engine=engine, num_partitions=0 if well_split else None, furigana=furigana
+    )
     return number_spans(spans, ocr)
 
 

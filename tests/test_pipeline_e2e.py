@@ -69,3 +69,22 @@ def test_empty_docs_table(spark):
     docs = spark.createDataFrame([], DOCUMENTS_SCHEMA)
     media = spark.createDataFrame([], MEDIA_SCHEMA)
     assert extract_spans(docs, media).count() == 0
+
+
+def test_furigana_mode_preserves_span_structure(spark, corpus):
+    """Furigana stripping is OFF by default (reference Operation.furigana
+    =False, core/classes.py:81). When ON, the column-width rule (built
+    for vertical-Japanese ruby) legitimately alters text where a narrow
+    word column neighbors a wide one — as in the reference — but the
+    empty-retry rule (ocr.py:147-167) must prevent span LOSS: every
+    golden span position (doc_id, media_ref, order) survives with
+    non-empty text."""
+    docs = docs_to_spark(spark, corpus["documents"])
+    media = media_to_spark(spark, corpus["media"])
+    result = extract_spans(docs, media, furigana=True).cache()
+    golden = golden_to_spark(spark, corpus["golden_spans"])
+    key = ["doc_id", "kind", "media_ref", "order"]
+    assert result.count() == golden.count()
+    assert result.select(key).exceptAll(golden.select(key)).count() == 0
+    assert golden.select(key).exceptAll(result.select(key)).count() == 0
+    assert result.filter("text = ''").count() == 0
