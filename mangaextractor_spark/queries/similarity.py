@@ -103,14 +103,55 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return vals
 
 
+DIM = 64  # embedding dim of the testdata tables (asserted by the driver run)
+
+
+def _lsh_bucket_sql() -> str:
+    parts = []
+    for pl in (_hyperplane(DIM, p) for p in range(N_PLANES)):
+        lit = "[" + ", ".join(repr(v) for v in pl) + "]"
+        parts.append(f"CASE WHEN list_dot_product(emb, {lit}) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(parts)
+
+
+_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb, sqrt({_DOT.format(a="emb", b="emb")}) AS nrm,
+         {{bucket}} AS bucket
+  FROM e
+),
+q AS (
+  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+  FROM n WHERE vec_id < {N_QUERIES}
+),
+sims AS (
+  SELECT q.q_id, n.vec_id AS neighbor_id,
+         ROUND({_DOT.format(a="n.emb", b="q.q_emb")} / (n.nrm * q.q_nrm), 6) AS sim
+  FROM n JOIN q ON n.bucket = q.q_bucket AND n.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT q_id, neighbor_id, sim, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY q_id, rank
+""".replace("{bucket}", _lsh_bucket_sql())
+
+
 @register(
     "lsh_ann_topk",
-    None,  # bucketed ANN is approximate -> rows-only driver check;
-    # exactness is instead asserted in tests via recall vs embedding_topk.
+    _LSH_SQL,
     doc=f"LSH ANN: {N_PLANES} random-hyperplane sign bits -> bucket id; "
     "candidates = same-bucket vectors (equi-join on bucket, no cross "
     "join); exact cosine rescoring within candidates. The 100 TB path: "
-    "bucket join shuffles O(n), not O(n^2).",
+    "bucket join shuffles O(n), not O(n^2). Fully deterministic (seeded "
+    "LCG hyperplanes, identical sequential-sum dot products on both "
+    "engines), so even this approximate operator is oracle-checked; "
+    "recall vs embedding_topk is additionally asserted in tests.",
     tags=("similarity", "approx"),
 )
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
