@@ -64,6 +64,7 @@ def run_extraction(
     engine: str = "glyph",
     fail_on_chunk: int | None = None,
     run_id: str | None = None,
+    furigana: bool = False,
 ) -> DataFrame:
     """Execute the pipeline chunk-by-chunk with lineage; returns the
     final numbered span DataFrame (also written to ``{out_dir}/spans``).
@@ -90,7 +91,7 @@ def run_extraction(
             raise ChunkFailure(f"injected failure before chunk {chunk} committed")
         t0 = time.monotonic()
         chunk_pages = pages.filter(F.col("chunk") == chunk).drop("chunk")
-        ocr = ocr_pages(chunk_pages, engine=engine)
+        ocr = ocr_pages(chunk_pages, engine=engine, furigana=furigana)
         # Idempotent commit: overwrite this chunk's directory, then append
         # the lineage row. (Iceberg: REPLACE PARTITION + snapshot append.)
         ocr.write.mode("overwrite").parquet(f"{out_dir}/ocr/chunk={chunk}")
