@@ -119,14 +119,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
-    arr = d.filter(F.size(words_col(F.col("text"))) >= 3).select(
+    base = d.filter(F.size(words_col(F.col("text"))) >= 3).select(
         "doc_id", F.array_distinct(shingles3(words_col(F.col("text")))).alias("arr")
     )
-    sh = arr.select("doc_id", F.explode(F.transform("arr", phash60)).alias("h"))
-    sz = arr.select("doc_id", F.size("arr").alias("n"))
+    # Each doc's shingle-set size rides along with every posting-list
+    # entry (one long per row) — joining sizes back afterwards would
+    # re-run the whole shingle pipeline once per broadcast build.
+    sh = base.select(
+        "doc_id",
+        F.size("arr").alias("n"),
+        F.explode(F.transform("arr", phash60)).alias("h"),
+    )
     posting = (
         sh.groupBy("h")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
     ds = F.col("ds")
@@ -135,22 +141,28 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ds,
             lambda x, i: F.transform(
                 F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("a_id"),
+                    y["doc_id"].alias("b_id"),
+                    x["n"].alias("na"),
+                    y["n"].alias("nb"),
+                ),
             ),
         )
     )
     inter = (
         posting.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+        .groupBy(
+            F.col("p.a_id").alias("a_id"),
+            F.col("p.b_id").alias("b_id"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sz.alias("sa")
-    sb = sz.alias("sb")
-    jac = F.col("n_common") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    jac = F.col("n_common") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(F.broadcast(sa), F.col("a_id") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("b_id") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
+        inter.filter(jac >= 0.2)
         .select("a_id", "b_id", "n_common", F.round(jac, 6).alias("jaccard"))
     )
 
