@@ -140,18 +140,19 @@ def run_default(args) -> None:
     # Warm the JVM/codegen paths once so timings reflect steady state.
     _force(REGISTRY["pricing_summary"].spark(spark, sf_dir))
 
-    # Best of 2 runs per query: single-shot numbers on this box are
-    # bimodal (JIT/GC noise swings identical plans 5-10x); steady state
-    # is what a long-running cluster job amortizes to.
+    # Two full passes over the set, min per query: identical plans on
+    # this box swing 5-15x in bursts (JIT/GC/host noise), and the bursts
+    # outlast back-to-back repeats — interleaving whole passes
+    # decorrelates them. Steady state is what a long-running cluster job
+    # amortizes to.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        df = REGISTRY[name].spark(spark, sf_dir)
-        best = float("inf")
-        for _ in range(2):
+    for _pass in range(2):
+        for name in HEADLINE:
+            df = REGISTRY[name].spark(spark, sf_dir)
             t0 = time.monotonic()
             _force(df)
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            dt = round(time.monotonic() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), dt)
 
     corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/spark_graft_bench_corpus")
     _materialize_corpus(corpus_dir, args.docs)
