@@ -22,12 +22,18 @@ def reading_order(rects: list[Rect]) -> list[int]:
     Banding: scan rects by right edge descending; a rect joins the
     current band while its x-interval overlaps the band's running
     x-range, else it starts a new (further-left) band. Within a band,
-    order by (y1, -x2). Ties broken deterministically by (x1, y1).
+    order by (y1, -x2). Ties broken by the full geometry (x1, y1, y2)
+    so ranks NEVER depend on input order — only exact duplicate rects
+    are interchangeable. (Found by hypothesis: a stable sort on a
+    partial key made ranks input-order-dependent for rects differing
+    only in y2.)
     """
     n = len(rects)
     if n == 0:
         return []
-    order = sorted(range(n), key=lambda i: (-rects[i][2], rects[i][0], rects[i][1]))
+    order = sorted(
+        range(n), key=lambda i: (-rects[i][2], rects[i][0], rects[i][1], rects[i][3])
+    )
     bands: list[list[int]] = []
     band_x1 = None
     for i in order:
@@ -41,7 +47,9 @@ def reading_order(rects: list[Rect]) -> list[int]:
     ranks = [0] * n
     rank = 0
     for band in bands:
-        for i in sorted(band, key=lambda j: (rects[j][1], -rects[j][2], rects[j][0])):
+        for i in sorted(
+            band, key=lambda j: (rects[j][1], -rects[j][2], rects[j][0], rects[j][3])
+        ):
             ranks[i] = rank
             rank += 1
     return ranks
