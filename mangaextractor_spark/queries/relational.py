@@ -481,3 +481,68 @@ def cascade_delete_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "event_sessions",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM gaps
+    ),
+    per AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             (MAX(us) - MIN(us)) // 1000000 AS duration_s
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(MAX(duration_s) AS BIGINT) AS max_session_s
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag -> session "
+    "boundary flag -> running-sum session id -> per-session rollup -> "
+    "per-user summary. Two windows and two aggregations over ONE "
+    "shuffle: every window/groupBy is keyed by user_id, so Catalyst "
+    "reuses the same hash partitioning end-to-end — the pattern that "
+    "matters at 10^12 events.",
+    tags=("window", "sessionization"),
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("us").over(w)
+    is_start = F.when(prev.isNull() | (F.col("us") - prev > 1800000000), 1).otherwise(0)
+    wrun = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = e.withColumn("is_start", is_start).withColumn(
+        "session_id", F.sum("is_start").over(wrun)
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("us") - F.min("us")) / F.lit(1000000)).cast("long").alias("duration_s"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("duration_s").alias("max_session_s"),
+        )
+        .orderBy("user_id")
+    )
