@@ -330,7 +330,9 @@ def detect_bubbles(
         if w * h < min_area:
             continue
         aspect = w / max(h, 1)
-        if not (0.2 <= aspect <= 10.0):
+        # Tall-narrow vertical bubbles are the manga norm (a 1-column
+        # page grid yields ~0.19); bound only degenerate slivers.
+        if not (0.1 <= aspect <= 10.0):
             continue
         box = white[y1:y2, x1:x2]
         if box.mean() < 0.5:  # whiteness heuristic

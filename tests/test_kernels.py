@@ -216,3 +216,23 @@ def _iou(a, b):
     inter = ix * iy
     union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
     return inter / union if union else 0.0
+
+
+def test_tall_narrow_bubble_detected():
+    """Regression: a 1-column page grid yields bubbles with w/h ~0.19;
+    the aspect gate must keep them (found by a 512-doc sweep where 21
+    pages lost their narrowest bubble)."""
+    import numpy as np
+
+    from mangaextractor_spark.kernels.image_ops import detect_bubbles
+
+    img = np.full((600, 420), 180, dtype=np.uint8)
+    img[96:507, 310:388] = 255  # 78 x 411 -> aspect 0.19
+    img[96:98, 310:388] = 0
+    img[505:507, 310:388] = 0
+    img[96:507, 310:312] = 0
+    img[96:507, 386:388] = 0
+    rects = detect_bubbles(img)
+    assert len(rects) == 1
+    x1, y1, x2, y2 = rects[0]
+    assert (x2 - x1, y2 - y1) == (74, 407)
