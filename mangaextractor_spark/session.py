@@ -88,4 +88,10 @@ def spread(df, parallelism: int | None = None):
     the whole game (cf. the salted repartition in pipeline/extract).
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(parallelism or sc.defaultParallelism)
+    n = parallelism or sc.defaultParallelism
+    # Already well-split (a big table's scan): repartitioning would be a
+    # full extra shuffle for nothing — the guard is what lets the same
+    # query code run on the 100 TB table unchanged.
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

@@ -88,3 +88,24 @@ def test_furigana_mode_preserves_span_structure(spark, corpus):
     assert result.select(key).exceptAll(golden.select(key)).count() == 0
     assert golden.select(key).exceptAll(result.select(key)).count() == 0
     assert result.filter("text = ''").count() == 0
+
+
+def test_salted_repartition_path_matches_golden(spark, corpus):
+    """Force the salted-repartition branch (doc-grouped / under-split
+    inputs take it in production) and assert identical output."""
+    from pyspark.sql import functions as F
+
+    from mangaextractor_spark.pipeline.extract import number_spans, ocr_pages
+
+    docs = docs_to_spark(spark, corpus["documents"])
+    media = media_to_spark(spark, corpus["media"]).coalesce(1)  # under-split input
+    spans = docs.select("doc_id", F.explode("spans").alias("sp")).select(
+        "doc_id", "sp.kind", "sp.text", "sp.media_ref", "sp.offset"
+    )
+    meta = spans.filter(F.col("kind") == "image").select("doc_id", "offset", "media_ref")
+    pages = media.select("media_ref", "image_png").join(F.broadcast(meta), "media_ref")
+    result = number_spans(spans, ocr_pages(pages))  # num_partitions=None -> salted
+    golden = golden_to_spark(spark, corpus["golden_spans"])
+    key = ["doc_id", "kind", "text", "media_ref", "order"]
+    assert result.select(key).exceptAll(golden.select(key)).count() == 0
+    assert golden.select(key).exceptAll(result.select(key)).count() == 0
