@@ -91,7 +91,19 @@ def run_extraction(
             raise ChunkFailure(f"injected failure before chunk {chunk} committed")
         t0 = time.monotonic()
         chunk_pages = pages.filter(F.col("chunk") == chunk).drop("chunk")
-        ocr = ocr_pages(chunk_pages, engine=engine, furigana=furigana)
+        # Same auto-selection as extract_spans: a page-granular media
+        # scan needs no byte shuffle (the chunk filter keeps the scan's
+        # partitioning); under-split inputs take the salted repartition.
+        well_split = (
+            media.rdd.getNumPartitions()
+            >= spark.sparkContext.defaultParallelism
+        )
+        ocr = ocr_pages(
+            chunk_pages,
+            engine=engine,
+            furigana=furigana,
+            num_partitions=0 if well_split else None,
+        )
         # Idempotent commit: overwrite this chunk's directory, then append
         # the lineage row. (Iceberg: REPLACE PARTITION + snapshot append.)
         ocr.write.mode("overwrite").parquet(f"{out_dir}/ocr/chunk={chunk}")

@@ -190,3 +190,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("hs").alias("fp_max"),
         F.size("hs").cast("long").alias("n_shingles"),
     )
+
+
+@register(
+    "doc_vocabulary",
+    f"""
+    WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    toks AS (
+      SELECT doc_id, UNNEST(ws) AS token FROM w
+    )
+    SELECT doc_id, token, COUNT(*) AS n
+    FROM toks
+    GROUP BY doc_id, token
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_id, token
+    """,
+    doc="Per-document vocabulary with counts (tokens seen >= 2 times) — "
+    "the engine analog of the reference's per-volume/chapter/page "
+    "vocabulario columns (db_util.py:39-77, README.md:71-90), computed "
+    "from content instead of stored opaquely. One shuffle on "
+    "(doc_id, token) with map-side combine.",
+    tags=("text",),
+)
+def doc_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .orderBy("doc_id", "token")
+    )

@@ -109,3 +109,17 @@ def test_salted_repartition_path_matches_golden(spark, corpus):
     key = ["doc_id", "kind", "text", "media_ref", "order"]
     assert result.select(key).exceptAll(golden.select(key)).count() == 0
     assert golden.select(key).exceptAll(result.select(key)).count() == 0
+
+
+def test_realistic_page_dims_match_golden(spark):
+    """Golden equality at the scaling corpus' 840x1200 page dims —
+    the kernels must be size-invariant, not tuned to the small test
+    pages."""
+    big = generate_corpus(CorpusSpec(n_docs=8, seed=21, page_w=840, page_h=1200))
+    docs = docs_to_spark(spark, big["documents"])
+    media = media_to_spark(spark, big["media"])
+    result = extract_spans(docs, media)
+    golden = golden_to_spark(spark, big["golden_spans"])
+    key = ["doc_id", "kind", "text", "media_ref", "order"]
+    assert result.select(key).exceptAll(golden.select(key)).count() == 0
+    assert golden.select(key).exceptAll(result.select(key)).count() == 0
