@@ -25,41 +25,143 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Regexes shared verbatim between Spark (Java regex) and DuckDB (RE2).
-BRACKET_TAG_RE = r"\[[^\]]*\]"
-TRAILING_META_RE = r"(?i)\s*(volume|capitulo|capítulo|extra)\b.*$"
-VOLUME_NUM_RE = r"(?i)volume\s*([0-9.]+)"
-CHAPTER_NUM_RE = r"(?i)cap[ií]tulo\s*([0-9.]+)"
-EXTRA_RE = r"(?i)\bextra\b"
-FIRST_BRACKET_RE = r"\[([^\]]*)\]"
 FILE_VOL_RE = r"(?i)[_\-(] ?v([0-9]+)"
 FILE_CHAP_RE = r"(?i)[_\-] ?c([0-9]+)"
 SPECIAL_CHARS_RE = r"[^0-9A-Za-zÀ-ɏ　-ヿ一-鿿 ]"
 
+_JPN_TAGS = ("[JPN]", "[JAP]", "[JNP]")
+
+
+def _basename(path: Column) -> Column:
+    return F.element_at(F.split(path, r"[/\\]"), -1)
+
+
+def _rpos0(s: Column, kw: str) -> Column:
+    """0-based index of the LAST occurrence of literal ``kw`` in ``s``
+    (callers lowercase both), or -1. Greedy-prefix trick: the length of
+    `^(.*)kw.*$`'s first group is exactly rindex(kw)."""
+    return F.when(
+        s.contains(kw),
+        F.length(F.regexp_replace(s, r"(?s)^(.*)" + kw + r".*$", "$1")),
+    ).otherwise(F.lit(-1))
+
+
+def _strip_brackets(base: Column) -> Column:
+    """Reference bracket handling (processor.py:25-30): the [JPN]/[JAP]/
+    [JNP] tags are removed by EXACT UPPERCASE match when the uppercased
+    name contains one (a real quirk: '[jpn]' survives); otherwise the
+    first [scan group (text from '[' up to before ']') is removed, then
+    every stray '[' and ']'."""
+    upper_has_tag = None
+    for t in _JPN_TAGS:
+        c = F.upper(base).contains(t)
+        upper_has_tag = c if upper_has_tag is None else (upper_has_tag | c)
+    detagged = base
+    for t in _JPN_TAGS:
+        detagged = F.replace(detagged, F.lit(t), F.lit(""))
+    i1 = F.instr(base, "[")
+    i2 = F.instr(base, "]")
+    scan_text = F.when(i2 > i1, F.substring(base, i1, i2 - i1)).otherwise(F.lit(""))
+    unscanned = F.when(scan_text != "", F.replace(base, scan_text, F.lit(""))).otherwise(base)
+    unscanned = F.replace(F.replace(unscanned, F.lit("["), F.lit("")), F.lit("]"), F.lit(""))
+    return (
+        F.when(upper_has_tag, detagged)
+        .when(i1 > 0, unscanned)
+        .otherwise(base)
+    )
+
 
 def manga_name(path: Column) -> Column:
-    """P1: folder name -> manga title (processor.py:19-40 semantics)."""
-    no_tags = F.regexp_replace(path, BRACKET_TAG_RE, "")
-    before_dash = F.split(no_tags, " - ").getItem(0)
-    stripped = F.regexp_replace(before_dash, TRAILING_META_RE, "")
-    return F.trim(stripped)
+    """P1 getDirectoryName, faithful to processor.py:19-40: basename;
+    '' for recycle-bin paths; bracket stripping (see _strip_brackets);
+    ' - ' -> ' '; truncate at the LAST 'volume' (elif 'capítulo', elif
+    'capitulo') — substring match, case-insensitive via lowercase
+    positions, NO word boundary, and 'extra' does NOT truncate; then
+    one '  '->' ' pass and strip."""
+    base = _basename(path)
+    folder = _strip_brackets(base)
+    folder = F.replace(folder, F.lit(" - "), F.lit(" "))
+    low = F.lower(folder)
+    truncated = (
+        F.when(low.contains("volume"), F.substring(folder, 1, _rpos0(low, "volume")))
+        .when(low.contains("capítulo"), F.substring(folder, 1, _rpos0(low, "capítulo")))
+        .when(low.contains("capitulo"), F.substring(folder, 1, _rpos0(low, "capitulo")))
+        .otherwise(folder)
+    )
+    cleaned = F.trim(F.replace(truncated, F.lit("  "), F.lit(" ")))
+    return F.when(F.lower(base).contains("$recycle.bin"), F.lit("")).otherwise(cleaned)
+
+
+def _digits(seg: Column) -> Column:
+    """Reference's `re.sub(r'[^0-9.]', '', seg)` with the '0' default
+    (processor.py:80-90)."""
+    return F.coalesce(F.nullif(F.regexp_replace(seg, r"[^0-9.]", ""), F.lit("")), F.lit("0"))
+
+
+def _info_parts(path: Column) -> tuple[Column, Column, Column]:
+    """(volume, chapter, is_extra) per getDirectoryInformation
+    (processor.py:43-94): parse ONLY when 'volume' co-occurs with
+    'capítulo'/'capitulo', or with 'extra' after the last 'volume';
+    slices are taken between LAST-occurrence keyword positions of the
+    lowercased name, digits-only, default '0'."""
+    s = F.lower(_basename(path))
+    pv = _rpos0(s, "volume")
+    pca = _rpos0(s, "capítulo")
+    pcb = _rpos0(s, "capitulo")
+    pe = _rpos0(s, "extra")
+    cond = s.contains("volume") & (
+        s.contains("capítulo") | s.contains("capitulo") | (s.contains("extra") & (pv < pe))
+    )
+
+    def seg(a: Column, b: Column) -> Column:
+        # python s[a:b] (0-based, may be empty when b<=a)
+        return F.substring(s, a + 1, F.greatest(b - a, F.lit(0)))
+
+    tail = lambda a: F.substring(s, a + 1, F.lit(1 << 30))  # noqa: E731
+    vol = (
+        F.when(s.contains("capítulo"), _digits(seg(pv, pca)))
+        .when(s.contains("capitulo"), _digits(seg(pv, pcb)))
+        .otherwise(_digits(seg(pv, pe)))
+    )
+    chap = (
+        F.when(s.contains("capítulo"), _digits(tail(pca)))
+        .when(s.contains("capitulo"), _digits(tail(pcb)))
+        .otherwise(_digits(tail(pe)))
+    )
+    extra = ~s.contains("capítulo") & ~s.contains("capitulo")
+    volume = F.when(cond, vol).otherwise(F.lit("0"))
+    chapter = F.when(cond, chap).otherwise(F.lit("0"))
+    is_ex = F.when(cond, extra).otherwise(F.lit(False))
+    return volume, chapter, is_ex
 
 
 def volume_number(path: Column) -> Column:
-    """P2: 'Volume 03.5' -> '03.5' (kept as string, processor.py:80-87)."""
-    return F.nullif(F.regexp_extract(path, VOLUME_NUM_RE, 1), F.lit(""))
+    """P2: volume as STRING with '0' default (processor.py:58-87)."""
+    return _info_parts(path)[0]
 
 
 def chapter_number(path: Column) -> Column:
-    return F.nullif(F.regexp_extract(path, CHAPTER_NUM_RE, 1), F.lit(""))
+    return _info_parts(path)[1]
 
 
 def is_extra(path: Column) -> Column:
-    return F.regexp_like(path, F.lit(EXTRA_RE))
+    return _info_parts(path)[2]
 
 
 def scan_tag(path: Column) -> Column:
-    """P2: first ``[...]`` bracket group = scan group name."""
-    return F.nullif(F.regexp_extract(path, FIRST_BRACKET_RE, 1), F.lit(""))
+    """P2 scan group: first ``[...]`` content, trimmed — but NOT when
+    the name carries a [JPN]/[JAP]/[JNP] language tag
+    (processor.py:46-51). NULL when absent/empty (the reference keeps
+    '' + isScan=False; NULL is this engine's empty)."""
+    base = _basename(path)
+    has_tag = None
+    for t in _JPN_TAGS:
+        c = F.upper(base).contains(t)
+        has_tag = c if has_tag is None else (has_tag | c)
+    i1 = F.instr(base, "[")
+    i2 = F.instr(base, "]")
+    scan = F.when((~has_tag) & (i2 > i1 + 1), F.trim(F.substring(base, i1 + 1, i2 - i1 - 1)))
+    return F.nullif(scan, F.lit(""))
 
 
 def file_volume(fname: Column) -> Column:

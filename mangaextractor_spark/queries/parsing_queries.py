@@ -15,11 +15,13 @@ from ..functions import parsing as P
 from ..session import load_table
 from . import register
 
-# path: "[Scan-BRAND] <name> - Volume <v> Capitulo <c>[ Extra]"
+# path: "[Scan-BRAND] <name> - Volume <v> Capitulo <c>" or, every 7th
+# part, the extra-chapter form "... - Volume <v> Extra <c>" (exercises
+# the reference's extra branch, processor.py:73-80).
 _PATH_SQL = (
     "'[Scan-' || p_brand || '] ' || p_name || ' - Volume ' || CAST(p_size AS VARCHAR)"
-    " || ' Capitulo ' || CAST(p_partkey % 50 AS VARCHAR)"
-    " || CASE WHEN p_partkey % 7 = 0 THEN ' Extra' ELSE '' END"
+    " || CASE WHEN p_partkey % 7 = 0 THEN ' Extra ' ELSE ' Capitulo ' END"
+    " || CAST(p_partkey % 50 AS VARCHAR)"
 )
 # filename: "<brand>_v<size>_c<partkey%50>.png"
 _FILE_SQL = (
@@ -35,25 +37,36 @@ def _path_col() -> F.Column:
         F.col("p_name"),
         F.lit(" - Volume "),
         F.col("p_size").cast("string"),
-        F.lit(" Capitulo "),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(" Extra ")).otherwise(F.lit(" Capitulo ")),
         (F.col("p_partkey") % 50).cast("string"),
-        F.when(F.col("p_partkey") % 7 == 0, F.lit(" Extra")).otherwise(F.lit("")),
     )
 
 
 @register(
     "parse_directory_name",
     f"""
+    WITH t AS (SELECT p_partkey, {_PATH_SQL} AS path FROM part),
+    d AS (
+      SELECT p_partkey, path,
+             REPLACE(REGEXP_REPLACE(path, '^\\[[^\\]]*\\]', ''), ' - ', ' ') AS f
+      FROM t
+    ),
+    pos AS (
+      SELECT p_partkey, path, f,
+             CASE WHEN STRPOS(LOWER(f), 'volume') > 0
+                  THEN LENGTH(REGEXP_REPLACE(LOWER(f), '(?s)^(.*)volume.*$', '\\1'))
+                  ELSE LENGTH(f) END AS cut
+      FROM d
+    )
     SELECT p_partkey, path,
-           TRIM(REGEXP_REPLACE(
-             SPLIT_PART(REGEXP_REPLACE(path, '\\[[^\\]]*\\]', '', 'g'), ' - ', 1),
-             '(?i)\\s*(volume|capitulo|capítulo|extra)\\b.*$', '', 'g')) AS manga_name
-    FROM (SELECT p_partkey, {_PATH_SQL} AS path FROM part)
-    ORDER BY p_partkey
+           TRIM(REPLACE(SUBSTR(f, 1, cut), '  ', ' ')) AS manga_name
+    FROM pos ORDER BY p_partkey
     """,
-    doc="P1 getDirectoryName: strip [tags], keep segment before ' - ', drop "
-    "trailing volume/chapter words (reference core/processor.py:19-40). "
-    "Pure codegen'd regex projection — no shuffle.",
+    doc="P1 getDirectoryName, faithful (reference core/processor.py:19-40): "
+    "strip the first [scan] group, replace ' - ' with ' ', truncate at the "
+    "LAST case-insensitive 'volume' substring (greedy-prefix regex = "
+    "rindex), collapse double spaces, trim. Pure codegen'd projection — "
+    "no shuffle.",
     tags=("parse",),
 )
 def parse_directory_name(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,17 +80,31 @@ def parse_directory_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "parse_volume_chapter",
     f"""
+    WITH t AS (SELECT p_partkey, {_PATH_SQL} AS path FROM part),
+    pos AS (
+      SELECT p_partkey, path, LOWER(path) AS s,
+             LENGTH(REGEXP_REPLACE(LOWER(path), '(?s)^(.*)volume.*$', '\\1')) AS pv,
+             CASE WHEN STRPOS(LOWER(path), 'capitulo') > 0
+                  THEN LENGTH(REGEXP_REPLACE(LOWER(path), '(?s)^(.*)capitulo.*$', '\\1'))
+                  ELSE LENGTH(REGEXP_REPLACE(LOWER(path), '(?s)^(.*)extra.*$', '\\1')) END AS pk,
+             STRPOS(LOWER(path), 'capitulo') > 0 AS has_cap
+      FROM t
+    )
     SELECT p_partkey,
-           NULLIF(REGEXP_EXTRACT(path, '(?i)volume\\s*([0-9.]+)', 1), '') AS volume,
-           NULLIF(REGEXP_EXTRACT(path, '(?i)cap[ií]tulo\\s*([0-9.]+)', 1), '') AS chapter,
-           REGEXP_MATCHES(path, '(?i)\\bextra\\b') AS is_extra,
-           NULLIF(REGEXP_EXTRACT(path, '\\[([^\\]]*)\\]', 1), '') AS scan
-    FROM (SELECT p_partkey, {_PATH_SQL} AS path FROM part)
-    ORDER BY p_partkey
+           COALESCE(NULLIF(REGEXP_REPLACE(SUBSTR(s, pv + 1, GREATEST(pk - pv, 0)),
+                                          '[^0-9.]', '', 'g'), ''), '0') AS volume,
+           COALESCE(NULLIF(REGEXP_REPLACE(SUBSTR(s, pk + 1), '[^0-9.]', '', 'g'), ''), '0')
+             AS chapter,
+           NOT has_cap AS is_extra,
+           NULLIF(TRIM(REGEXP_EXTRACT(path, '\\[([^\\]]*)\\]', 1)), '') AS scan
+    FROM pos ORDER BY p_partkey
     """,
-    doc="P2 getDirectoryInformation: keyword-sliced volume/chapter (kept as "
-    "STRINGS, digits-only, as the reference does at core/processor.py:80-87), "
-    "extra flag, scan tag (core/processor.py:43-94).",
+    doc="P2 getDirectoryInformation, faithful (reference "
+    "core/processor.py:43-94): volume = digits of the lowercased name "
+    "between the LAST 'volume' and the LAST 'capitulo' (or 'extra' in the "
+    "extra-chapter branch, where is_extra=true); chapter = digits after "
+    "that keyword; '0' defaults; scan = first [group], trimmed, minus "
+    "language tags.",
     tags=("parse",),
 )
 def parse_volume_chapter(spark: SparkSession, sf_dir: str) -> DataFrame:
