@@ -27,7 +27,16 @@ from pyspark.sql import functions as F
 # Regexes shared verbatim between Spark (Java regex) and DuckDB (RE2).
 FILE_VOL_RE = r"(?i)[_\-(] ?v([0-9]+)"
 FILE_CHAP_RE = r"(?i)[_\-] ?c([0-9]+)"
-SPECIAL_CHARS_RE = r"[^0-9A-Za-zÀ-ɏ　-ヿ一-鿿 ]"
+# P5 OCR filter character classes, verbatim from the reference
+# (modules/ocr.py:35-37): a fixed list of symbols; the ja variant ALSO
+# strips ASCII digits/letters. Everything else (punctuation like .,!?)
+# survives — the filter is an allowlist complement, not "non-word".
+SPECIAL_CHARS_RE = (
+    r"[\\+/§◎*)@<>#%(&=$_\-^«¢~「」〃ゝゞヽヾ一●▲・ヽ÷①↓®▽■◆『£〆∴∞▼™↑←]"
+)
+SPECIAL_CHARS_JA_RE = (
+    r"[\\+/§◎*)@<>#%(&=$_\-^0-9A-Za-z:;«¢~「」〃ゝゞヽヾ一●▲・ヽ÷①↓®▽■◆『£〆∴∞▼™↑←]"
+)
 
 _JPN_TAGS = ("[JPN]", "[JAP]", "[JNP]")
 
@@ -164,20 +173,66 @@ def scan_tag(path: Column) -> Column:
     return F.nullif(scan, F.lit(""))
 
 
+def _numeric_fallback(name: Column, letter: str) -> Column:
+    """Reference fallback branch (processor.py:128-131, 146-148): when
+    ``' v<word>'`` / ``' c<word>'`` appears, take the FIRST ``v\\w+``
+    run, drop the letter, accept only if fully numeric."""
+    cand = F.replace(
+        F.regexp_extract(name, letter + r"(\w+)", 1), F.lit(letter), F.lit("")
+    )
+    return F.when(
+        F.regexp_like(name, F.lit(" " + letter + r"\w+"))
+        & F.regexp_like(cand, F.lit("^[0-9]+$")),
+        cand,
+    )
+
+
 def file_volume(fname: Column) -> Column:
-    """P3: '_v01'/'-v01'/'(v01' style volume in a filename."""
-    return F.nullif(F.regexp_extract(fname, FILE_VOL_RE, 1), F.lit(""))
+    """P3 filename volume, faithful (reference core/processor.py:115-131):
+    the segment after the first '_v'/'-v'/'(v' up to the next '_'/'-'/')'
+    (missing closing delimiter = parse failure -> NULL; the reference
+    raises and routes the file to naoreconhecidos/ — per-field NULL is
+    this engine's equivalent), else the ' v<digits>' fallback; digits
+    only ([^0-9] stripped — volumes here are INTEGER strings)."""
+    name = F.lower(_basename(fname))
+    seg = (
+        F.when(name.contains("_v"), F.nullif(F.regexp_extract(name, r"_(v[^_]*)_", 1), F.lit("")))
+        .when(name.contains("-v"), F.nullif(F.regexp_extract(name, r"-(v[^-]*)-", 1), F.lit("")))
+        .when(name.contains("(v"), F.nullif(F.regexp_extract(name, r"\((v[^)]*)\)", 1), F.lit("")))
+        .otherwise(_numeric_fallback(name, "v"))
+    )
+    return F.nullif(F.regexp_replace(seg, r"[^0-9]", ""), F.lit(""))
 
 
 def file_chapter(fname: Column) -> Column:
-    return F.nullif(F.regexp_extract(fname, FILE_CHAP_RE, 1), F.lit(""))
+    """P3 filename chapter, faithful (reference core/processor.py:133-148):
+    '_c'/'_ch' segment to the next '_', '-c'/'-ch' to the next '-',
+    '- c' to the next '(', else the ' c<digits>' fallback."""
+    name = F.lower(_basename(fname))
+    seg = (
+        F.when(
+            name.contains("_ch") | name.contains("_c"),
+            F.nullif(F.regexp_extract(name, r"_(c[^_]*)_", 1), F.lit("")),
+        )
+        .when(
+            name.contains("-ch") | name.contains("-c"),
+            F.nullif(F.regexp_extract(name, r"-(c[^-]*)-", 1), F.lit("")),
+        )
+        .when(
+            name.contains("- c"),
+            F.nullif(F.regexp_extract(name, r"-( c[^(]*)\(", 1), F.lit("")),
+        )
+        .otherwise(_numeric_fallback(name, "c"))
+    )
+    return F.nullif(F.regexp_replace(seg, r"[^0-9]", ""), F.lit(""))
 
 
 def normalize_ocr_text(text: Column, lang: Column | None = None) -> Column:
-    """P5: strip special characters, collapse whitespace, capitalize
-    (``str.capitalize()`` = first char upper, rest lower — NOT initcap;
-    reference modules/ocr.py:41-48). Japanese additionally removes all
-    whitespace (ocr.py:37-40); the lang branch mirrors that."""
+    """P5 filterText, faithful (reference modules/ocr.py:33-48): remove
+    the fixed special-character list (ja: also ASCII digits/letters and
+    ':'/';'); then ja removes ALL whitespace, other languages collapse
+    whitespace and ``str.capitalize()`` (first char upper, REST lower —
+    NOT initcap). Punctuation like .,!? survives, as in the reference."""
     cleaned = F.regexp_replace(text, SPECIAL_CHARS_RE, "")
     collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     capitalized = F.concat(
@@ -186,5 +241,7 @@ def normalize_ocr_text(text: Column, lang: Column | None = None) -> Column:
     )
     if lang is None:
         return capitalized
-    ja = F.regexp_replace(cleaned, r"\s+", "")
+    ja = F.regexp_replace(
+        F.regexp_replace(text, SPECIAL_CHARS_JA_RE, ""), r"\s+", ""
+    )
     return F.when(lang == "ja", ja).otherwise(capitalized)

@@ -23,9 +23,12 @@ _PATH_SQL = (
     " || CASE WHEN p_partkey % 7 = 0 THEN ' Extra ' ELSE ' Capitulo ' END"
     " || CAST(p_partkey % 50 AS VARCHAR)"
 )
-# filename: "<brand>_v<size>_c<partkey%50>.png"
+# filename: "<brand>_v<size>_c<partkey%50>_page.png" — the trailing
+# segment matters: the reference's slicing needs a closing '_' after the
+# chapter token or the whole file fails to parse (processor.py:134-136).
 _FILE_SQL = (
-    "p_brand || '_v' || CAST(p_size AS VARCHAR) || '_c' || CAST(p_partkey % 50 AS VARCHAR) || '.png'"
+    "p_brand || '_v' || CAST(p_size AS VARCHAR) || '_c' || CAST(p_partkey % 50 AS VARCHAR)"
+    " || '_page.png'"
 )
 
 
@@ -124,14 +127,20 @@ def parse_volume_chapter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "parse_filename",
     f"""
+    WITH t AS (SELECT p_partkey, {_FILE_SQL} AS fname FROM part),
+    l AS (SELECT p_partkey, fname, LOWER(fname) AS nm FROM t)
     SELECT p_partkey, fname,
-           NULLIF(REGEXP_EXTRACT(fname, '(?i)[_\\-(] ?v([0-9]+)', 1), '') AS file_volume,
-           NULLIF(REGEXP_EXTRACT(fname, '(?i)[_\\-] ?c([0-9]+)', 1), '') AS file_chapter
-    FROM (SELECT p_partkey, {_FILE_SQL} AS fname FROM part)
-    ORDER BY p_partkey
+           NULLIF(REGEXP_REPLACE(REGEXP_EXTRACT(nm, '_(v[^_]*)_', 1), '[^0-9]', '', 'g'), '')
+             AS file_volume,
+           NULLIF(REGEXP_REPLACE(REGEXP_EXTRACT(nm, '_(c[^_]*)_', 1), '[^0-9]', '', 'g'), '')
+             AS file_chapter
+    FROM l ORDER BY p_partkey
     """,
-    doc="P3 filename `_v01_c03` volume/chapter parse "
-    "(reference core/processor.py:114-151).",
+    doc="P3 filename volume/chapter parse, faithful: the '_v'/'_c' "
+    "segment up to the NEXT '_' then digits-only (reference "
+    "core/processor.py:115-151; the synthetic names all take the "
+    "underscore branch — the other delimiters are covered by the "
+    "parity unit tests).",
     tags=("parse",),
 )
 def parse_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,7 +152,7 @@ def parse_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("string"),
             F.lit("_c"),
             (F.col("p_partkey") % 50).cast("string"),
-            F.lit(".png"),
+            F.lit("_page.png"),
         ),
     )
     return (
@@ -178,20 +187,23 @@ def page_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "normalize_ocr_text",
-    """
+    r"""
     SELECT doc_id,
            UPPER(SUBSTR(norm, 1, 1)) || LOWER(SUBSTR(norm, 2)) AS norm_text
     FROM (
       SELECT doc_id,
              TRIM(REGEXP_REPLACE(
-               REGEXP_REPLACE(SUBSTR(text, 1, 80), '[^0-9A-Za-zÀ-ɏ　-ヿ一-鿿 ]', '', 'g'),
-               '\\s+', ' ', 'g')) AS norm
+               REGEXP_REPLACE(SUBSTR(text, 1, 80),
+                 '[\\+/§◎*)@<>#%(&=$_\-^«¢~「」〃ゝゞヽヾ一●▲・ヽ÷①↓®▽■◆『£〆∴∞▼™↑←]',
+                 '', 'g'),
+               '\s+', ' ', 'g')) AS norm
       FROM documents
     )
     ORDER BY doc_id
     """,
-    doc="P5 OCR text normalization: strip specials, collapse whitespace, "
-    "Python-style capitalize (reference modules/ocr.py:33-48).",
+    doc="P5 filterText, faithful: remove the reference's exact special-"
+    "character list (punctuation like .,!? SURVIVES), collapse "
+    "whitespace, Python-style capitalize (modules/ocr.py:33-48).",
     tags=("parse", "text"),
 )
 def normalize_ocr_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:

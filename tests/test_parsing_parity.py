@@ -72,3 +72,54 @@ def info_results(spark):
 def test_directory_information_parity(info_results):
     for path, vol, chap, extra, scan in INFO_CASES:
         assert info_results[path] == (vol, chap, extra, scan), path
+
+
+# (fname, volume, chapter) — reference core/processor.py:115-151 semantics
+FILE_CASES = [
+    ("Manga_v01_c03_x.png", "01", "03"),
+    ("Manga_vol2_c7_p.jpg", "2", "7"),  # segment-to-next-'_' keeps 'vol2' -> digits '2'
+    ("Manga-v04-c05-x.png", "04", "05"),
+    # '(v' branch; the ' c' fallback FAILS here because findall('c\\w+')
+    # first hits the 'c' inside 'Scan' -> 'an' -> non-numeric (a real
+    # reference quirk, processor.py:146-148)
+    ("Scan(v9)page c12.png", "9", None),
+    ("Manga v12 c34.png", "12", "34"),  # both fallbacks (numeric only)
+    ("Manga v1x c3y.png", None, None),  # fallback rejects non-numeric
+    ("Manga_v01_c03.png", "01", None),  # no closing '_' after chapter -> failure
+    ("plain.png", None, None),
+]
+
+
+def test_filename_parse_parity(spark):
+    df = spark.createDataFrame([(f,) for f, *_ in FILE_CASES], "fname string")
+    rows = df.select(
+        "fname",
+        P.file_volume(F.col("fname")).alias("v"),
+        P.file_chapter(F.col("fname")).alias("c"),
+    ).collect()
+    got = {r.fname: (r.v, r.c) for r in rows}
+    for fname, v, c in FILE_CASES:
+        assert got[fname] == (v, c), fname
+
+
+# (text, lang, expected) — reference modules/ocr.py:33-48: only the fixed
+# symbol list is removed (punctuation survives); ja also strips ASCII
+# alnum and all whitespace; others collapse whitespace + capitalize()
+TEXT_CASES = [
+    ("Hello,  WORLD! one", None, "Hello, world! one"),
+    ("a+b=c (x) 100%", None, "Abc x 100"),
+    ("keep.periods, and?!", None, "Keep.periods, and?!"),
+    ("ル ビ ABC 123 ・ テスト", "ja", "ルビテスト"),
+    ("Mixed Case Text", "en", "Mixed case text"),
+]
+
+
+def test_normalize_ocr_text_parity(spark):
+    df = spark.createDataFrame(TEXT_CASES, "text string, lang string, expected string")
+    rows = df.select(
+        "text",
+        "expected",
+        P.normalize_ocr_text(F.col("text"), F.col("lang")).alias("got"),
+    ).collect()
+    for r in rows:
+        assert r.got == r.expected, r.text
