@@ -1,22 +1,32 @@
 """Metadata-parsing scalar operators, re-expressed as Catalyst Column
 expressions (JVM-side, codegen'd — no Python in the hot path).
 
-Behavior parity targets in the reference (cited, not copied):
-- P1 directory -> manga name: strip ``[tag]`` brackets, keep the part
-  before `` - ``, drop trailing volume/chapter words
-  (reference src/manga_extractor/core/processor.py:19-40).
-- P2 directory -> (volume, chapter, scan, is_extra) keyword parsing
-  with digits-only extraction ``[^0-9.]`` kept as STRING
-  (reference core/processor.py:43-94 — volume/chapter stay strings).
-- P3 filename ``_v01_c03`` style volume/chapter extraction
-  (reference core/processor.py:114-151).
-- P5 OCR text normalization: strip special chars, collapse whitespace,
-  ``str.capitalize()`` (reference modules/ocr.py:33-48).
+Faithful re-expressions of the reference algorithms (cited, not
+copied; each quirk is deliberate and covered by
+tests/test_parsing_parity.py, which ports the reference's own golden
+cases):
+- P1 directory -> manga name (reference core/processor.py:19-40):
+  basename, recycle-bin guard, uppercase-only language-tag stripping,
+  first-scan-group removal, ``' - '`` replaced (not split), truncation
+  at the LAST ``volume``/``capítulo``/``capitulo`` substring (no word
+  boundary; ``extra`` never truncates), double-space collapse, strip.
+- P2 directory -> (volume, chapter, scan, is_extra)
+  (core/processor.py:43-94): parsed only when ``volume`` co-occurs
+  with a chapter keyword (or a trailing ``extra``); slices between
+  LAST-occurrence keyword positions; digits-only ``[^0-9.]``; STRING
+  values with '0' defaults.
+- P3 filename ``_v01_c03`` extraction (core/processor.py:114-151):
+  segment-to-next-delimiter slicing per branch, numeric-only fallback.
+- P5 OCR text filter (modules/ocr.py:33-48): the exact special-char
+  lists (punctuation survives), whitespace handling and
+  ``str.capitalize()`` per language.
 
 Every expression here has an ANSI-SQL twin in
 ``mangaextractor_spark/queries/`` so the DuckDB oracle can verify it;
 regexes are restricted to the Java-regex ∩ RE2 common subset
-(``(?i)``, ``\\b``, character classes — no backrefs, no lookaround).
+(``(?i)``/``(?s)``, character classes — no backrefs, no lookaround).
+The rindex trick used throughout: the length of ``^(.*)kw.*$``'s
+greedy first group equals the last-occurrence index of ``kw``.
 """
 
 from __future__ import annotations
@@ -24,9 +34,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Regexes shared verbatim between Spark (Java regex) and DuckDB (RE2).
-FILE_VOL_RE = r"(?i)[_\-(] ?v([0-9]+)"
-FILE_CHAP_RE = r"(?i)[_\-] ?c([0-9]+)"
 # P5 OCR filter character classes, verbatim from the reference
 # (modules/ocr.py:35-37): a fixed list of symbols; the ja variant ALSO
 # strips ASCII digits/letters. Everything else (punctuation like .,!?)
