@@ -546,3 +546,114 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "pricing_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    doc="ROLLUP grouping sets: per-(flag,status), per-flag subtotal, and "
+    "grand total in ONE aggregation pass (Catalyst expands the grouping "
+    "sets; the scan is read once). NULL grouping keys are folded to "
+    "'ALL' so the oracle compare is typed-stable.",
+    tags=("agg", "rollup"),
+)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1 ORDER BY k_bucket
+    """,
+    doc="Semi-structured column access: JSON path extraction from the "
+    "events.props string, aggregated by bucket. Spark side uses "
+    "get_json_object (codegen'd Jackson path, no UDF) — at 100 TB the "
+    "extraction cost is scan-fused, no extra pass.",
+    tags=("json", "agg"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "segment_set_ops",
+    """
+    WITH urgent AS (
+      SELECT DISTINCT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    building AS (
+      SELECT c_custkey AS c FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT c FROM urgent INTERSECT SELECT c FROM building)
+    UNION ALL
+    SELECT 'except', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT c FROM urgent EXCEPT SELECT c FROM building)
+    UNION ALL
+    SELECT 'union', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT c FROM urgent UNION SELECT c FROM building)
+    ORDER BY op
+    """,
+    doc="Set operations (INTERSECT / EXCEPT / UNION-distinct) between two "
+    "customer key sets — Catalyst plans these as semi/anti/distinct "
+    "joins on the key; counts keep the result tiny.",
+    tags=("setop",),
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c")
+    ).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("c")
+    )
+    rows = [
+        ("intersect", urgent.intersect(building)),
+        ("except", urgent.exceptAll(building).distinct()),
+        ("union", urgent.union(building).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        cnt = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+        out = cnt if out is None else out.unionByName(cnt)
+    return out.orderBy("op")
