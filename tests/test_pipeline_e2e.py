@@ -123,3 +123,31 @@ def test_realistic_page_dims_match_golden(spark):
     key = ["doc_id", "kind", "text", "media_ref", "order"]
     assert result.select(key).exceptAll(golden.select(key)).count() == 0
     assert golden.select(key).exceptAll(result.select(key)).count() == 0
+
+
+def test_text_only_docs_and_orphan_media(spark):
+    """Docs with no image spans still emit their prose spans in offset
+    order; media rows no span references (orphan pages) are simply not
+    scanned into the kernel output."""
+    import pandas as pd
+
+    from mangaextractor_spark.fixtures.spark_io import docs_to_spark
+
+    docs_pdf = pd.DataFrame(
+        [
+            {
+                "doc_id": "textonly/1",
+                "spans": [
+                    {"kind": "text", "text": "alpha", "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": "beta", "media_ref": "", "offset": 1},
+                ],
+            }
+        ]
+    )
+    corpus = generate_corpus(CorpusSpec(n_docs=2, seed=13))
+    media = media_to_spark(spark, corpus["media"])  # every row is an orphan here
+    result = extract_spans(docs_to_spark(spark, docs_pdf), media)
+    rows = sorted(
+        (r.doc_id, r.text, r.order) for r in result.collect()
+    )
+    assert rows == [("textonly/1", "alpha", 0), ("textonly/1", "beta", 1)]
