@@ -89,7 +89,8 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 8  # 2^8 = 256 buckets
+L_TABLES = 8  # LSH tables
+K_BITS = 4  # sign bits per table -> 16 buckets/table; union of 8 tables
 
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
@@ -106,31 +107,38 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 DIM = 64  # embedding dim of the testdata tables (asserted by the driver run)
 
 
-def _lsh_bucket_sql() -> str:
+def _bucket_sql(table: int) -> str:
     parts = []
-    for pl in (_hyperplane(DIM, p) for p in range(N_PLANES)):
+    for b in range(K_BITS):
+        pl = _hyperplane(DIM, table * K_BITS + b)
         lit = "[" + ", ".join(repr(v) for v in pl) + "]"
         parts.append(f"CASE WHEN list_dot_product(emb, {lit}) >= 0 THEN '1' ELSE '0' END")
     return " || ".join(parts)
 
 
-_LSH_SQL = f"""
+_SIG_UNION = "\n      UNION ALL ".join(
+    f"SELECT vec_id, emb, nrm, {t} AS t, {{b{t}}} AS bucket FROM n" for t in range(L_TABLES)
+)
+
+_LSH_SQL = (
+    f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 n AS (
-  SELECT vec_id, emb, sqrt({_DOT.format(a="emb", b="emb")}) AS nrm,
-         {{bucket}} AS bucket
-  FROM e
+  SELECT vec_id, emb, sqrt({_DOT.format(a="emb", b="emb")}) AS nrm FROM e
 ),
-q AS (
-  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
-  FROM n WHERE vec_id < {N_QUERIES}
+sig AS (
+      {_SIG_UNION}
+),
+qsig AS (
+  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, t, bucket
+  FROM sig WHERE vec_id < {N_QUERIES}
 ),
 sims AS (
-  SELECT q.q_id, n.vec_id AS neighbor_id,
-         ROUND({_DOT.format(a="n.emb", b="q.q_emb")} / (n.nrm * q.q_nrm), 6) AS sim
-  FROM n JOIN q ON n.bucket = q.q_bucket AND n.vec_id <> q.q_id
+  SELECT DISTINCT q.q_id, s.vec_id AS neighbor_id,
+         ROUND({_DOT.format(a="s.emb", b="q.q_emb")} / (s.nrm * q.q_nrm), 6) AS sim
+  FROM sig s JOIN qsig q ON s.t = q.t AND s.bucket = q.bucket AND s.vec_id <> q.q_id
 ),
 ranked AS (
   SELECT q_id, neighbor_id, sim,
@@ -139,19 +147,24 @@ ranked AS (
 )
 SELECT q_id, neighbor_id, sim, rank FROM ranked
 WHERE rank <= {TOP_K} ORDER BY q_id, rank
-""".replace("{bucket}", _lsh_bucket_sql())
+"""
+)
+for _t in range(L_TABLES):
+    _LSH_SQL = _LSH_SQL.replace("{b%d}" % _t, _bucket_sql(_t))
 
 
 @register(
     "lsh_ann_topk",
     _LSH_SQL,
-    doc=f"LSH ANN: {N_PLANES} random-hyperplane sign bits -> bucket id; "
-    "candidates = same-bucket vectors (equi-join on bucket, no cross "
-    "join); exact cosine rescoring within candidates. The 100 TB path: "
-    "bucket join shuffles O(n), not O(n^2). Fully deterministic (seeded "
-    "LCG hyperplanes, identical sequential-sum dot products on both "
-    "engines), so even this approximate operator is oracle-checked; "
-    "recall vs embedding_topk is additionally asserted in tests.",
+    doc=f"Multi-table LSH ANN: {L_TABLES} hash tables of {K_BITS} "
+    "random-hyperplane sign bits each; candidates = same-bucket vectors "
+    "in ANY table (equi-join on (table, bucket), distinct pairs), exact "
+    "cosine rescoring. Multiple small tables instead of one deep code is "
+    "what buys recall on weakly-clustered data; the 100 TB path still "
+    "shuffles O(n * L), never O(n^2). Fully deterministic (seeded LCG "
+    "hyperplanes, identical sequential-sum dot products), so even this "
+    "approximate operator is oracle-checked; recall >= 0.5 vs "
+    "embedding_topk is asserted in tests/test_ann_recall.py.",
     tags=("similarity", "approx"),
 )
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,31 +172,50 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     dim = e.select(F.size("emb")).first()[0]
-    planes = [_hyperplane(dim, p) for p in range(N_PLANES)]
-    bucket = F.concat(
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+
+    def bucket(table: int) -> F.Column:
+        bits = []
+        for b in range(K_BITS):
+            pl = _hyperplane(dim, table * K_BITS + b)
+            bits.append(
+                F.when(
+                    _dot(F.col("emb"), F.array(*[F.lit(v) for v in pl])) >= 0, "1"
+                ).otherwise("0")
+            )
+        return F.concat(*bits)
+
+    tables = F.array(
         *[
-            F.when(_dot(F.col("emb"), F.array(*[F.lit(v) for v in pl])) >= 0, "1").otherwise("0")
-            for pl in planes
+            F.struct(F.lit(t).alias("t"), bucket(t).alias("b"))
+            for t in range(L_TABLES)
         ]
     )
-    n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))).withColumn(
-        "bucket", bucket
+    sig = n.select("vec_id", "emb", "nrm", F.explode(tables).alias("tb")).select(
+        "vec_id", "emb", "nrm", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
     )
-    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+    qsig = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
-        F.col("bucket").alias("q_bucket"),
+        F.col("t").alias("qt"),
+        F.col("b").alias("qb"),
     )
     sims = (
-        n.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")))
+        sig.join(
+            F.broadcast(qsig),
+            (F.col("t") == F.col("qt"))
+            & (F.col("b") == F.col("qb"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 6).alias(
-                "sim"
-            ),
+            F.round(
+                _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 6
+            ).alias("sim"),
         )
+        .distinct()  # a pair colliding in several tables counts once
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
@@ -194,6 +226,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CENT_MOD = 31  # centroid seeds: vec_id % 31 == 0 -> ~n/31 cells, scales with data
+NPROBE = 4  # query-side probed cells
 
 
 _IVF_SQL = f"""
@@ -215,14 +248,20 @@ assign0 AS (
   FROM n CROSS JOIN cents
 ),
 assigned AS (SELECT vec_id, emb, nrm, cid AS cell FROM assign0 WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS q_id, cid AS probe_cell
+  FROM assign0 WHERE vec_id < {N_QUERIES} AND crank <= {NPROBE}
+),
 q AS (
-  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cell AS q_cell
-  FROM assigned WHERE vec_id < {N_QUERIES}
+  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+  FROM n WHERE vec_id < {N_QUERIES}
 ),
 sims AS (
-  SELECT q.q_id, a.vec_id AS neighbor_id,
+  SELECT DISTINCT q.q_id, a.vec_id AS neighbor_id,
          ROUND({_DOT.format(a="a.emb", b="q.q_emb")} / (a.nrm * q.q_nrm), 6) AS sim
-  FROM assigned a JOIN q ON a.cell = q.q_cell AND a.vec_id <> q.q_id
+  FROM assigned a
+  JOIN probes p ON a.cell = p.probe_cell
+  JOIN q ON q.q_id = p.q_id AND a.vec_id <> q.q_id
 ),
 ranked AS (
   SELECT q_id, neighbor_id, sim,
@@ -239,12 +278,14 @@ WHERE rank <= {TOP_K} ORDER BY q_id, rank
     _IVF_SQL,
     doc=f"IVF-style ANN, fully deterministic (hence oracle-checkable): "
     f"centroids = vectors with vec_id %% {CENT_MOD} == 0; every vector is "
-    "assigned to its max-cosine centroid (rounded 6dp, tie-break min cid); "
-    "queries probe their own cell (nprobe=1) and rescore exactly within "
-    "it. Spark plan: one scan, broadcast of the small centroid set, "
-    "map-side-combined max_by for assignment (shuffle carries one row per "
-    "vector), broadcast of the query rows, equi-join on cell — no O(n^2) "
-    "stage anywhere, so the layout survives a 100 TB corpus.",
+    "assigned to its max-cosine centroid (rounded 6dp, tie-break min "
+    "cid); queries probe their NPROBE=4 nearest cells and rescore "
+    "exactly within them (multi-probe is the standard recall lever — "
+    "recall vs embedding_topk asserted in tests/test_ann_recall.py). "
+    "Spark plan: one scan, broadcast of the small centroid set, "
+    "map-side-combined max_by for assignment (shuffle carries one row "
+    "per vector), broadcast of the tiny probe list, equi-join on cell — "
+    "no O(n^2) stage anywhere, so the layout survives a 100 TB corpus.",
     tags=("similarity", "approx"),
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,15 +308,24 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).alias("neg"))).alias("cell"),
         )
     )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-        F.col("cell").alias("q_cell"),
+    qv = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    qsim = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("csim"), "cid")
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("csim", qsim)
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= NPROBE)
+        .select("q_id", "q_emb", "q_nrm", F.col("cid").alias("probe_cell"))
     )
     sims = (
         assigned.join(
-            F.broadcast(q), (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id"))
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
         )
         .select(
             "q_id",
@@ -284,6 +334,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sim"
             ),
         )
+        .distinct()  # a neighbor reachable via several probed cells counts once
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
     return (

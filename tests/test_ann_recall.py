@@ -1,0 +1,31 @@
+"""ANN quality gates: the approximate similarity paths must find at
+least half of the exact brute-force top-k (the testdata is fixed, so
+these recalls are deterministic constants — measured 0.688 for the
+multi-table LSH and 0.625 for multi-probe IVF at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mangaextractor_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+FLOOR = 0.5
+
+
+@pytest.fixture(scope="module")
+def truth(spark):
+    out: dict[int, set[int]] = {}
+    for r in REGISTRY["embedding_topk"].spark(spark, SF).collect():
+        out.setdefault(r.q_id, set()).add(r.neighbor_id)
+    return out
+
+
+@pytest.mark.parametrize("name", ["lsh_ann_topk", "ivf_ann_topk"])
+def test_ann_recall_floor(spark, truth, name):
+    got: dict[int, set[int]] = {}
+    for r in REGISTRY[name].spark(spark, SF).collect():
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(q, set()) & s) for q, s in truth.items())
+    total = sum(len(s) for s in truth.values())
+    assert hits / total >= FLOOR, f"{name} recall {hits}/{total}"
