@@ -137,8 +137,19 @@ def run_default(args) -> None:
     spark = _spark(args.cores)
     from mangaextractor_spark.queries import REGISTRY
 
-    # Warm the JVM/codegen paths once so timings reflect steady state.
+    # Warm the JVM/codegen paths AND the Python workers once so timings
+    # reflect steady state (the first mapInPandas job otherwise pays
+    # 32x python-process spawn + numpy/pandas import inside its timing).
     _force(REGISTRY["pricing_summary"].spark(spark, sf_dir))
+
+    def _identity(batches):
+        yield from batches
+
+    _force(
+        spark.range(0, 64, 1, spark.sparkContext.defaultParallelism).mapInPandas(
+            _identity, "id long"
+        )
+    )
 
     # Two full passes over the set, min per query: identical plans on
     # this box swing 5-15x in bursts (JIT/GC/host noise), and the bursts
