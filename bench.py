@@ -46,6 +46,7 @@ HEADLINE = [
     "simhash",
     "doc_fingerprint",
     "embedding_topk",
+    "lsh_ann_topk",
     "ivf_ann_topk",
     "dedup_embedding_cosine",
     "merge_upsert_orders",
