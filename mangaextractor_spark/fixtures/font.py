@@ -146,3 +146,65 @@ def _match_glyph(cell: np.ndarray, scale: int, table: dict[bytes, str]) -> str:
     blocks = padded.reshape(GLYPH_H, scale, GLYPH_W, scale).sum(axis=(1, 3))
     g = blocks > (scale * scale) / 2
     return table.get(g.tobytes(), "?")
+
+
+def render_text_block_vertical(text: str, scale: int) -> np.ndarray:
+    """Tategaki rendering: each '\\n' line becomes a COLUMN of glyphs
+    stacked top-to-bottom; columns run RIGHT-TO-LEFT (the first line is
+    the rightmost column), as in Japanese vertical manga text (the
+    reference drives this via verticalText -> 'jpn_vert',
+    modules/ocr.py:20-30). Word spaces become larger vertical gaps."""
+    table = glyph_table()
+    col_masks = []
+    for line in text.split("\n"):
+        cells: list[np.ndarray] = []
+        for wi, word in enumerate(line.split(" ")):
+            if wi > 0:
+                cells.append(np.zeros((SPACE_GAP, GLYPH_W), dtype=bool))
+            for gi, ch in enumerate(word):
+                if gi > 0:
+                    cells.append(np.zeros((GLYPH_GAP, GLYPH_W), dtype=bool))
+                cells.append(table[ch])
+        col_masks.append(
+            np.concatenate(cells, axis=0) if cells else np.zeros((0, GLYPH_W), dtype=bool)
+        )
+    height = max((m.shape[0] for m in col_masks), default=0)
+    cols: list[np.ndarray] = []
+    for i, m in enumerate(col_masks):  # first line rightmost -> build reversed
+        if i > 0:
+            cols.append(np.zeros((height, GLYPH_GAP), dtype=bool))
+        padded = np.zeros((height, GLYPH_W), dtype=bool)
+        padded[: m.shape[0], :] = m
+        cols.append(padded)
+    block = (
+        np.concatenate(list(reversed(cols)), axis=1)
+        if cols
+        else np.zeros((0, 0), dtype=bool)
+    )
+    return np.kron(block, np.ones((scale, scale), dtype=bool))
+
+
+def decode_text_block_vertical(ink: np.ndarray) -> str:
+    """Inverse of render_text_block_vertical: column runs read RIGHT to
+    LEFT, glyph cells within a column top to bottom, larger vertical
+    gaps decode to word spaces. Lines join with ' ' (same convention as
+    the horizontal decoder)."""
+    ink = np.asarray(ink, dtype=bool)
+    col_runs = _runs(ink.any(axis=0))
+    out_lines: list[str] = []
+    table = _decode_table()
+    for x0, x1 in reversed(col_runs):  # rightmost column first
+        strip = ink[:, x0:x1]
+        row_runs = _runs(strip.any(axis=1))
+        if not row_runs:
+            continue
+        scale = max(1, round((x1 - x0) / GLYPH_W))
+        chars: list[str] = []
+        prev_end: int | None = None
+        for y0, y1 in row_runs:
+            if prev_end is not None and y0 - prev_end >= (GLYPH_GAP + 1) * scale:
+                chars.append(" ")
+            prev_end = y1
+            chars.append(_match_glyph(strip[y0:y1, :], scale, table))
+        out_lines.append("".join(chars))
+    return " ".join(out_lines)

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 from ..kernels.ordering import reading_order
-from .font import ALPHABET, GLYPH_H, GLYPH_W, render_text_block
+from .font import ALPHABET, GLYPH_H, GLYPH_W, render_text_block, render_text_block_vertical
 from .png import encode_gray_png
 
 BG_LO, BG_HI = 150, 215  # screentone range; bubbles are 255, ink is 0
@@ -53,6 +53,7 @@ class CorpusSpec:
     p_text_span: float = 0.6
     p_bubble: float = 0.75
     p_empty_bubble: float = 0.12
+    vertical_text: bool = False  # tategaki columns (jpn_vert analog)
 
 
 def _doc_rng(spec: CorpusSpec, doc_idx: int) -> np.random.Generator:
@@ -114,8 +115,13 @@ def _render_page(
                 pad = 3 * s + BORDER
                 avail_w = (bx2 - bx1) - 2 * pad
                 avail_h = (by2 - by1) - 2 * pad
-                max_chars = avail_w // ((GLYPH_W + 1) * s)
-                max_lines = avail_h // ((GLYPH_H + 1) * s)
+                if spec.vertical_text:
+                    # chars stack vertically per column; lines = columns
+                    max_chars = avail_h // ((GLYPH_H + 1) * s)
+                    max_lines = avail_w // ((GLYPH_W + 1) * s)
+                else:
+                    max_chars = avail_w // ((GLYPH_W + 1) * s)
+                    max_lines = avail_h // ((GLYPH_H + 1) * s)
                 if max_chars >= 2 and max_lines >= 1:
                     n_lines = int(rng.integers(1, min(3, max_lines) + 1))
                     lines = []
@@ -134,7 +140,8 @@ def _render_page(
                             lines.append(" ".join(words))
                     text = "\n".join(lines)
             if text:
-                block = render_text_block(text, s)
+                render = render_text_block_vertical if spec.vertical_text else render_text_block
+                block = render(text, s)
                 ty, tx = by1 + 3 * s + BORDER, bx1 + 3 * s + BORDER
                 region = img[ty : ty + block.shape[0], tx : tx + block.shape[1]]
                 region[block[: region.shape[0], : region.shape[1]]] = 0

@@ -58,3 +58,17 @@ _ENGINES = {"glyph": GlyphOcrEngine, "tesseract": TesseractOcrEngine}
 
 def get_engine(name: str = "glyph") -> OcrEngine:
     return _ENGINES[name]()
+
+
+class GlyphVerticalOcrEngine:
+    """Vertical-text decoder (the jpn_vert analog of the glyph engine:
+    the reference maps verticalText -> tesseract 'jpn_vert',
+    modules/ocr.py:20-30)."""
+
+    def decode_batch(self, ink_masks: list[np.ndarray]) -> list[str]:
+        from ..fixtures.font import decode_text_block_vertical
+
+        return [decode_text_block_vertical(m) for m in ink_masks]
+
+
+_ENGINES["glyph_vertical"] = GlyphVerticalOcrEngine

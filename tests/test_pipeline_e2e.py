@@ -151,3 +151,19 @@ def test_text_only_docs_and_orphan_media(spark):
         (r.doc_id, r.text, r.order) for r in result.collect()
     )
     assert rows == [("textonly/1", "alpha", 0), ("textonly/1", "beta", 1)]
+
+
+def test_vertical_text_pipeline_matches_golden(spark):
+    """Tategaki mode: pages rendered with vertical glyph columns
+    (right-to-left), decoded by the jpn_vert-analog engine — full
+    span-sequence equality (the reference's verticalText/ocr-config
+    axis, modules/ocr.py:20-30)."""
+    vert = generate_corpus(CorpusSpec(n_docs=12, seed=33, vertical_text=True))
+    docs = docs_to_spark(spark, vert["documents"])
+    media = media_to_spark(spark, vert["media"])
+    result = extract_spans(docs, media, engine="glyph_vertical")
+    golden = golden_to_spark(spark, vert["golden_spans"])
+    key = ["doc_id", "kind", "text", "media_ref", "order"]
+    assert result.count() == golden.count() > 0
+    assert result.select(key).exceptAll(golden.select(key)).count() == 0
+    assert golden.select(key).exceptAll(result.select(key)).count() == 0
