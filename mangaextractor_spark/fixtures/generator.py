@@ -54,6 +54,7 @@ class CorpusSpec:
     p_bubble: float = 0.75
     p_empty_bubble: float = 0.12
     vertical_text: bool = False  # tategaki columns (jpn_vert analog)
+    p_furigana: float = 0.0  # vertical mode: chance of a ruby side column
 
 
 def _doc_rng(spec: CorpusSpec, doc_idx: int) -> np.random.Generator:
@@ -139,15 +140,35 @@ def _render_page(
                         if words:
                             lines.append(" ".join(words))
                     text = "\n".join(lines)
+            has_ruby = False
             if text:
                 render = render_text_block_vertical if spec.vertical_text else render_text_block
                 block = render(text, s)
                 ty, tx = by1 + 3 * s + BORDER, bx1 + 3 * s + BORDER
                 region = img[ty : ty + block.shape[0], tx : tx + block.shape[1]]
                 region[block[: region.shape[0], : region.shape[1]]] = 0
+                if spec.vertical_text and rng.random() < spec.p_furigana:
+                    # Ruby (furigana) side column: half-scale glyphs to the
+                    # RIGHT of the main text, within 3x its width — exactly
+                    # the geometry the K18 rule detects (narrow column with
+                    # a wider base column to its left). NOT in the golden
+                    # text: the pipeline must strip it (furigana=True).
+                    ruby_s = max(1, s // 2)
+                    ruby = render_text_block_vertical(_bubble_word(rng), ruby_s)
+                    gap = 2 * ruby_s
+                    rx = tx + block.shape[1] + gap
+                    ry = ty
+                    if (
+                        rx + ruby.shape[1] <= bx2 - BORDER - 2
+                        and ry + ruby.shape[0] <= by2 - BORDER - 2
+                        and ruby.shape[1] < 0.65 * 5 * s
+                    ):
+                        rr = img[ry : ry + ruby.shape[0], rx : rx + ruby.shape[1]]
+                        rr[ruby[: rr.shape[0], : rr.shape[1]]] = 0
+                        has_ruby = True
             bubbles.append(
                 {"x1": bx1, "y1": by1, "x2": bx2, "y2": by2,
-                 "glyph_text": text.replace("\n", " ")}
+                 "glyph_text": text.replace("\n", " "), "has_ruby": has_ruby}
             )
     ranks = reading_order([(b["x1"], b["y1"], b["x2"], b["y2"]) for b in bubbles])
     for b, r in zip(bubbles, ranks):

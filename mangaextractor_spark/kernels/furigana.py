@@ -19,30 +19,35 @@ from __future__ import annotations
 
 import numpy as np
 
-from .image_ops import CCStats, label_components
+from .image_ops import CCStats, average_cc_size, close, label_components
 
 WIDTH_RATIO = 0.65  # furigana col narrower than 0.65x its base column
 NEIGHBOR_DISTANCE = 3.0  # base column must lie within 3.0x width to the left
+VERTICAL_SIGMA_MULTIPLIER = 2.5  # reference core/defaults.py:20
 
 
-def column_components(ink: np.ndarray, min_height_frac: float = 0.25) -> CCStats:
-    """Label vertical text columns: collapse the ink mask to column
-    bands (a column projection), then label the bands as components of
-    a 1-row mask widened back to full height. Only bands taller than
-    ``min_height_frac`` of the region count as text columns."""
-    col_has_ink = ink.any(axis=0)
-    col_height = ink.sum(axis=0)
-    tall = col_has_ink & (col_height >= min_height_frac * ink.shape[0] * ink.any(axis=1).mean())
-    return label_components(tall[None, :].repeat(2, axis=0))
+def column_components(ink: np.ndarray) -> CCStats:
+    """Label vertical text columns: bridge intra-column glyph gaps with
+    a VERTICAL morphological closing sized from the average glyph size
+    (the closing twin of the reference's gaussian column blur,
+    sigma = FURIGANA_VERTICAL_SIGMA_MULTIPLIER x average_size,
+    modules/furigana.py:15-49), then take connected components — each
+    text column becomes one blob whose bbox width is the column width."""
+    base = label_components(ink)
+    if base.n == 0:
+        return base
+    avg = average_cc_size(base)
+    k = max(3, int(2 * VERTICAL_SIGMA_MULTIPLIER * avg)) | 1
+    return label_components(close(ink, k, 1))
 
 
 def estimate_furigana_columns(ink: np.ndarray) -> np.ndarray:
     """Return a bool mask over columns marking estimated furigana.
 
-    Rule (furigana.py:51-101 semantics): for each detected column band,
-    find the nearest band to its LEFT whose gap is within
-    NEIGHBOR_DISTANCE x own width; if that band is wider such that
-    own_width < WIDTH_RATIO x left_width, mark this band as furigana.
+    Rule (furigana.py:51-101 semantics): for each detected column blob,
+    find the nearest blob to its LEFT whose gap is within
+    NEIGHBOR_DISTANCE x own width; if that blob is wider such that
+    own_width < WIDTH_RATIO x left_width, mark this column as furigana.
     """
     stats = column_components(ink)
     mask = np.zeros(ink.shape[1], dtype=bool)

@@ -167,3 +167,24 @@ def test_vertical_text_pipeline_matches_golden(spark):
     assert result.count() == golden.count() > 0
     assert result.select(key).exceptAll(golden.select(key)).count() == 0
     assert golden.select(key).exceptAll(result.select(key)).count() == 0
+
+
+def test_furigana_removal_end_to_end(spark):
+    """Vertical corpus with planted ruby columns: furigana=True strips
+    them and matches the golden spans exactly; furigana=False decodes
+    the ruby as extra text (proving the ruby is really on the page)."""
+    vert = generate_corpus(
+        CorpusSpec(n_docs=16, seed=44, vertical_text=True, p_furigana=0.6)
+    )
+    assert vert["golden_regions"]["has_ruby"].any(), "fixture must plant ruby"
+    docs = docs_to_spark(spark, vert["documents"])
+    media = media_to_spark(spark, vert["media"])
+    golden = golden_to_spark(spark, vert["golden_spans"])
+    key = ["doc_id", "kind", "text", "media_ref", "order"]
+
+    stripped = extract_spans(docs, media, engine="glyph_vertical", furigana=True)
+    assert stripped.select(key).exceptAll(golden.select(key)).count() == 0
+    assert golden.select(key).exceptAll(stripped.select(key)).count() == 0
+
+    raw = extract_spans(docs, media, engine="glyph_vertical", furigana=False)
+    assert raw.select(key).exceptAll(golden.select(key)).count() > 0
