@@ -60,3 +60,25 @@ def media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_ref")
     )
+
+
+@register(
+    "extract_manga_spans_vertical",
+    None,
+    doc="Extraction pipeline in tategaki mode: vertical-text pages with "
+    "planted furigana ruby columns (seed=44); ruby stripped (K18/K19) "
+    "before the vertical glyph decode. Exact span equality vs the "
+    "generation golden is asserted in tests/test_pipeline_e2e.py.",
+    tags=("extraction", "pipeline"),
+)
+def extract_manga_spans_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures.generator import CorpusSpec, generate_corpus
+    from ..fixtures.spark_io import docs_to_spark, media_to_spark
+    from ..pipeline.extract import extract_spans
+
+    corpus = generate_corpus(
+        CorpusSpec(n_docs=12, seed=44, vertical_text=True, p_furigana=0.6)
+    )
+    docs = docs_to_spark(spark, corpus["documents"])
+    media = media_to_spark(spark, corpus["media"])
+    return extract_spans(docs, media, engine="glyph_vertical", furigana=True)
