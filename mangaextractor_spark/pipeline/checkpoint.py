@@ -29,7 +29,8 @@ from .extract import number_spans, ocr_pages
 
 LINEAGE_SCHEMA = (
     "run_id string, chunk int, status string, n_pages long, n_docs long, "
-    "n_bubbles long, n_empty long, doc_id_min string, doc_id_max string, wall_ms long"
+    "n_bubbles long, n_empty long, n_failed_pages long, "
+    "doc_id_min string, doc_id_max string, wall_ms long"
 )
 
 
@@ -111,8 +112,11 @@ def run_extraction(
         stats = written.agg(
             F.countDistinct("media_ref").alias("n_pages"),
             F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_bubbles"),
-            F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("n_empty"),
+            F.sum(F.when(F.col("bubble_rank") >= 0, 1).otherwise(0)).alias("n_bubbles"),
+            F.sum(
+                F.when((F.col("text") == "") & (F.col("bubble_rank") >= 0), 1).otherwise(0)
+            ).alias("n_empty"),
+            F.sum(F.when(F.col("bubble_rank") < 0, 1).otherwise(0)).alias("n_failed"),
             F.min("doc_id").alias("doc_id_min"),
             F.max("doc_id").alias("doc_id_max"),
         ).first()
@@ -127,6 +131,7 @@ def run_extraction(
                     stats.n_docs,
                     stats.n_bubbles,
                     stats.n_empty or 0,
+                    stats.n_failed or 0,
                     stats.doc_id_min,
                     stats.doc_id_max,
                     wall_ms,

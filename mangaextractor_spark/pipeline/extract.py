@@ -68,8 +68,18 @@ def _kernel(engine_name: str, furigana: bool = False):
             for doc_id, offset, ref, png in zip(
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image_png"]
             ):
-                img = decode_gray_png(bytes(png))
-                regions = extract_page_regions(img)
+                try:
+                    img = decode_gray_png(bytes(png))
+                    regions = extract_page_regions(img)
+                except Exception:
+                    # Corrupt/undecodable page: the reference drops failed
+                    # pages (parallel_processor.py:180-184); at corpus
+                    # scale silent loss is unacceptable, so emit a
+                    # FAILURE MARKER row (bubble_rank = -1, empty text) —
+                    # filtered out of spans by the empty-text rule but
+                    # countable by the lineage stats.
+                    rows.append((doc_id, int(offset), ref, -1, "", 0, 0, 0, 0))
+                    continue
                 if furigana:
                     # K18/K19 + the reference's empty-retry rule
                     # (modules/ocr.py:147-167): OCR the furigana-stripped

@@ -65,3 +65,36 @@ def test_rerun_of_complete_output_is_noop_for_chunks(spark, corpus_dfs, tmp_path
     run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS)
     lineage2 = spark.read.parquet(f"{out}/_lineage").count()
     assert lineage1 == lineage2 == N_CHUNKS  # no chunk re-executed
+
+
+def test_corrupt_page_is_counted_not_fatal(spark, tmp_path):
+    """A corrupt image must not kill the job (the reference drops failed
+    pages, parallel_processor.py:180-184): its page contributes no
+    spans, every other page is unaffected, and the lineage rows count
+    it (n_failed_pages)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mangaextractor_spark.fixtures.generator import CorpusSpec, generate_corpus
+    from mangaextractor_spark.fixtures.spark_io import docs_to_spark, media_to_spark
+    from mangaextractor_spark.pipeline.extract import extract_spans
+
+    corpus = generate_corpus(CorpusSpec(n_docs=6, seed=8))
+    media_pdf = corpus["media"].copy()
+    bad_ref = media_pdf.iloc[0]["media_ref"]
+    media_pdf.loc[media_pdf["media_ref"] == bad_ref, "image_png"] = b"not a png"
+    docs = docs_to_spark(spark, corpus["documents"])
+    media = media_to_spark(spark, media_pdf)
+
+    spans = extract_spans(docs, media)
+    assert spans.filter(F.col("media_ref") == bad_ref).count() == 0
+    good = extract_spans(docs, media_to_spark(spark, corpus["media"]))
+    assert (
+        spans.count()
+        == good.filter(F.col("media_ref") != bad_ref).count()
+    )
+
+    out = str(tmp_path / "faulty")
+    run_extraction(spark, docs, media, out, n_chunks=2)
+    lineage = spark.read.parquet(f"{out}/_lineage")
+    assert lineage.agg(F.sum("n_failed_pages")).first()[0] == 1
