@@ -17,7 +17,7 @@ Real (no external deps):
 - ``media_md5``          content hash (reference page hash P4)
 
 Stubbed (decode needs libs not in the container):
-- ``decode_jpeg_stub``, ``audio_features_stub``, ``video_frame_sample_stub``
+- ``audio_features``, ``video_frame_sample``
 """
 
 from __future__ import annotations

@@ -176,7 +176,13 @@ def scan_tag(path: Column) -> Column:
         has_tag = c if has_tag is None else (has_tag | c)
     i1 = F.instr(base, "[")
     i2 = F.instr(base, "]")
-    scan = F.when((~has_tag) & (i2 > i1 + 1), F.trim(F.substring(base, i1 + 1, i2 - i1 - 1)))
+    # (i1 > 0): a ']' without any '[' is not a scan group — the reference
+    # indexes '[' first and would raise (processor.py:48), so names like
+    # "weird] name" must yield NULL, not the text before ']'.
+    scan = F.when(
+        (~has_tag) & (i1 > 0) & (i2 > i1 + 1),
+        F.trim(F.substring(base, i1 + 1, i2 - i1 - 1)),
+    )
     return F.nullif(scan, F.lit(""))
 
 

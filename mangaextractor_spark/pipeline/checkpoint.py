@@ -129,7 +129,7 @@ def run_extraction(
                     "done",
                     stats.n_pages,
                     stats.n_docs,
-                    stats.n_bubbles,
+                    stats.n_bubbles or 0,  # SUM over an empty chunk is NULL
                     stats.n_empty or 0,
                     stats.n_failed or 0,
                     stats.doc_id_min,

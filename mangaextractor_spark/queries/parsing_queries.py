@@ -82,6 +82,14 @@ def parse_directory_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "parse_volume_chapter",
+    # NOTE covered-shape restriction: this oracle (and parse_directory_
+    # name's) implements the reference cascade only for the shapes the
+    # synthetic part-derived paths produce — 'Volume N Capitulo/Extra N'
+    # with one leading [scan] group and no JPN/JAP/JNP language tag. The
+    # Spark expressions implement the FULL semantics (tag exclusion,
+    # capítulo/capitulo fallbacks, last-bracket-anywhere); those branches
+    # are covered by tests/test_parsing_parity.py golden cases instead.
+    # If the synthetic path template ever changes, extend this SQL too.
     f"""
     WITH t AS (SELECT p_partkey, {_PATH_SQL} AS path FROM part),
     pos AS (

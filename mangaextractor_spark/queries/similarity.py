@@ -392,7 +392,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat))
 
-    margin = 1e-9  # wider than any pairwise-vs-sequential summation drift
+    # The rescore filter accepts ROUND(sim, 6) >= threshold, which admits
+    # raw cosines from threshold - 5e-7 (the rounding half-quantum), so
+    # the prune margin must be at least that plus summation drift —
+    # 1e-9 alone silently dropped boundary pairs the oracle keeps.
+    margin = 5e-7 + 1e-9
 
     def candidates(batches):
         b_ids, b_mat = bc.value

@@ -41,6 +41,9 @@ INFO_CASES = [
     ("Manga Volume 9", "0", "0", False, None),
     ("Manga [JPN] Volume 2 Capitulo 3", "2", "3", False, None),  # language tag is not a scan
     ("Manga Volume 1.5 Capitulo 2.5", "1.5", "2.5", False, None),
+    # ']' with no '[' at all: the reference indexes '[' first and fails
+    # (processor.py:48) — must NOT emit the text before ']' as a group
+    ("Weird] Name Volume 1 Capitulo 2", "1", "2", False, None),
 ]
 
 
