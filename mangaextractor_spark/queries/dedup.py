@@ -88,14 +88,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POSTING_CAP = 64  # stop-shingle rule: df > CAP => shingle carries no near-dup signal
+
+
 @register(
     "ngram_jaccard_pairs",
     shingles_sql()
-    + """
+    + f"""
     , sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {POSTING_CAP}),
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE a.s NOT IN (SELECT s FROM hot)
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT a_id, b_id, n_common,
@@ -111,10 +116,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emitted from each sorted posting list, counted per pair. Compared "
     "with a self-join this computes the shingle pipeline ONCE and never "
     "materializes the row-level a x b join; identical to the string "
-    "oracle barring a 2^-60 md5-prefix collision. At 100 TB a frequent "
-    "shingle's posting list is the skew risk (quadratic pair fan-out) — "
-    "production caps posting-list length (stop-shingles), and the LSH "
-    "variant below is the scale path.",
+    "oracle barring a 2^-60 md5-prefix collision. Skew guard: posting "
+    f"lists longer than POSTING_CAP={POSTING_CAP} docs are dropped "
+    "entirely (the standard stop-shingle rule — a shingle shared by that "
+    "many documents carries no near-dup signal, and its quadratic pair "
+    "fan-out would otherwise pin one task). The cap is mirrored in the "
+    "oracle ('hot' CTE), and intersection counts on BOTH sides exclude "
+    "capped shingles while doc sizes still count them. The LSH variant "
+    "below is the 100 TB path.",
     tags=("dedup", "join"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +142,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = (
         sh.groupBy("h")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= POSTING_CAP))
     )
     ds = F.col("ds")
     pair_structs = F.flatten(

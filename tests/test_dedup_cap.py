@@ -1,0 +1,54 @@
+"""Stop-shingle cap: a viral shingle (df > POSTING_CAP) must not
+explode into quadratic pairs, on BOTH engines identically.
+
+Fixture: 80 docs of the form 'alpha beta gamma end{i}' — every pair
+shares exactly the one viral shingle 'alpha beta gamma' and would pass
+jaccard = 1/3 >= 0.2 without the cap (C(80,2) = 3160 pairs from one
+posting list — the skew scenario). Plus one genuine near-dup pair that
+shares only non-viral shingles and must survive the cap.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from mangaextractor_spark.queries import REGISTRY
+from mangaextractor_spark.queries.dedup import POSTING_CAP
+
+N_VIRAL = 80
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("skewdocs")
+    rows = [
+        {"doc_id": f"viral{i:03d}", "text": f"alpha beta gamma end{i}"}
+        for i in range(N_VIRAL)
+    ]
+    rows.append({"doc_id": "pair_a", "text": "red green blue cyan magenta"})
+    rows.append({"doc_id": "pair_b", "text": "red green blue cyan yellow"})
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_viral_shingle_capped_identically(spark, skew_dir):
+    assert N_VIRAL > POSTING_CAP  # the fixture must actually trip the cap
+    qd = REGISTRY["ngram_jaccard_pairs"]
+    sdf = qd.spark(spark, skew_dir).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{skew_dir}/documents.parquet'"
+    )
+    odf = con.execute(qd.oracle).df()
+    con.close()
+
+    # No quadratic blow-up: the 3160 viral pairs are gone on both sides,
+    # the genuine near-dup pair (2 shared non-viral shingles of 3 each,
+    # jaccard = 0.5) survives.
+    got = sorted(zip(sdf["a_id"], sdf["b_id"], sdf["jaccard"]))
+    want = sorted(zip(odf["a_id"], odf["b_id"], odf["jaccard"]))
+    assert got == want
+    assert got == [("pair_a", "pair_b", 0.5)]
