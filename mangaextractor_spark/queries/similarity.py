@@ -364,55 +364,82 @@ NEAR_DUP_SIM = 0.4
     """,
     doc=f"Embedding-cosine near-duplicate pairs (sim >= {NEAR_DUP_SIM}, "
     "rounded 6dp before the threshold so both engines agree at the "
-    "boundary). Two phases: (1) vectorized numpy candidate pruning in "
-    "mapInPandas — each Arrow batch matmuls against the broadcast "
-    "normalized matrix with an epsilon-widened threshold, so the O(n^2) "
-    "sweep runs at BLAS speed instead of per-pair expression "
-    "interpretation; (2) survivors (a few hundred) are rescored with the "
-    "sequential-sum Spark expression that is bit-identical to the DuckDB "
-    "oracle, so numpy's pairwise-summation ulp drift cannot flip a "
-    "boundary. The exact all-pairs semantics is the correctness baseline "
-    "for the approximate paths (lsh_ann_topk / ivf_ann_topk); at 100 TB "
-    "the same threshold filter runs after LSH-band candidate generation "
-    "instead of an all-pairs sweep.",
+    "boundary). Exact all-pairs — the correctness baseline for the "
+    "approximate paths (lsh_ann_topk / ivf_ann_topk) — executed as a "
+    "fully distributed block triangle join: every vector hashes to one "
+    f"of B={{N_BLOCKS}} blocks and is replicated to its B block-pairs "
+    "(gi, gj); each of the B(B+1)/2 groups runs one vectorized BLAS "
+    "sweep (block x block matmul) in applyInPandas with an epsilon-"
+    "widened threshold, emitting candidate pairs. Nothing is collected "
+    "to the driver and task memory is bounded by 2*(n/B)*dim doubles — "
+    "B is the knob that trades shuffle volume (n*B rows) for per-task "
+    "memory at corpus scale. Survivors (a few hundred) are rescored "
+    "with the sequential-sum Spark expression that is bit-identical to "
+    "the DuckDB oracle, so numpy's pairwise-summation ulp drift cannot "
+    "flip a boundary. (The O(n^2/B)-compute sweep is inherent to exact "
+    "all-pairs semantics; the LSH/IVF operators are the sublinear "
+    "100 TB path.)".format(N_BLOCKS=8),
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    N_BLOCKS = 8
+
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    # Broadcast the L2-normalized matrix (the "small dim table" of this
-    # join: n_vectors x dim doubles, far below the corpus itself).
-    local = e.toPandas()
-    ids = np.asarray(local["vec_id"], dtype=np.int64)
-    mat = np.vstack(local["emb"].to_numpy())
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
-
     # The rescore filter accepts ROUND(sim, 6) >= threshold, which admits
     # raw cosines from threshold - 5e-7 (the rounding half-quantum), so
     # the prune margin must be at least that plus summation drift —
     # 1e-9 alone silently dropped boundary pairs the oracle keeps.
     margin = 5e-7 + 1e-9
 
-    def candidates(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q = np.vstack(pdf["emb"].to_numpy())
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ b_mat.T
-            qi, bj = np.nonzero(sims >= NEAR_DUP_SIM - margin)
-            a = np.asarray(pdf["vec_id"], dtype=np.int64)[qi]
-            b = b_ids[bj]
-            keep = a < b
-            yield pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+    g = F.pmod(F.xxhash64("vec_id"), F.lit(N_BLOCKS)).cast("int")
+    # Each row joins every block-pair group it participates in: exactly
+    # N_BLOCKS groups (one diagonal + N_BLOCKS-1 off-diagonal), so each
+    # unordered vector pair {u, v} meets in exactly one group.
+    block_pairs = F.array(
+        *[
+            F.struct(
+                F.least(F.col("g"), F.lit(j)).alias("gi"),
+                F.greatest(F.col("g"), F.lit(j)).alias("gj"),
+            )
+            for j in range(N_BLOCKS)
+        ]
+    )
+    rep = (
+        e.withColumn("g", g)
+        .select("vec_id", "emb", "g", F.explode(block_pairs).alias("gp"))
+        .select("vec_id", "emb", "g", F.col("gp.gi").alias("gi"), F.col("gp.gj").alias("gj"))
+    )
 
-    cand = e.mapInPandas(candidates, "a_id long, b_id long")
+    def block_sweep(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = key
+        ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+        mat = np.vstack(pdf["emb"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        thr = NEAR_DUP_SIM - margin
+        if gi == gj:
+            sims = mat @ mat.T
+            ai, bj = np.nonzero(sims >= thr)
+            a, b = ids[ai], ids[bj]
+            keep = a < b  # upper triangle only
+        else:
+            sa = np.asarray(pdf["g"]) == gi
+            A, B = mat[sa], mat[~sa]
+            a_ids, b_ids = ids[sa], ids[~sa]
+            if not len(A) or not len(B):
+                return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
+            sims = A @ B.T
+            ai, bj = np.nonzero(sims >= thr)
+            u, v = a_ids[ai], b_ids[bj]
+            a, b = np.minimum(u, v), np.maximum(u, v)
+            keep = np.ones(len(a), dtype=bool)
+        return pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+
+    cand = rep.groupBy("gi", "gj").applyInPandas(block_sweep, "a_id long, b_id long")
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
     a = n.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("nrm").alias("a_nrm")
