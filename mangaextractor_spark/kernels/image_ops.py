@@ -282,6 +282,128 @@ def filter_by_black_white_ratio(
     return (ratio >= lo) & (ratio <= hi)
 
 
+CANNY_LOW = 128  # reference cv2.Canny(img, 128, 255, ...) cleaning.py:52
+CANNY_HIGH = 255
+
+
+def sobel_edges(
+    img: np.ndarray, low: float = CANNY_LOW, high: float = CANNY_HIGH
+) -> np.ndarray:
+    """K9 edge mask: 3x3 Sobel L1 magnitude (|gx|+|gy|, cv2.Canny's
+    default gradient) with hysteresis — weak-edge (>= low) components
+    are kept only when they contain at least one strong (>= high)
+    pixel, exactly Canny's edge-tracking rule. Non-maximum suppression
+    is deliberately omitted: the only consumer is the convex-hull fill
+    (reference cleaning.py:51-68), for which the hull of a thick edge
+    equals the hull of its thinned ridge."""
+    a = img.astype(np.float64)
+    p = np.pad(a, 1, mode="edge")
+    dx = p[:, 2:] - p[:, :-2]  # central difference, then [1,2,1] smooth
+    gx = dx[:-2] + 2.0 * dx[1:-1] + dx[2:]
+    dy = p[2:, :] - p[:-2, :]
+    gy = dy[:, :-2] + 2.0 * dy[:, 1:-1] + dy[:, 2:]
+    mag = np.abs(gx) + np.abs(gy)
+    weak = mag >= low
+    strong = mag >= high
+    if not strong.any() or not weak.any():
+        return np.zeros_like(weak)
+    stats = label_components(weak)
+    # strong pixels per weak component, via per-run interval sums over a
+    # row-wise prefix count of strong pixels (no per-pixel python)
+    cs = np.concatenate(
+        [np.zeros((strong.shape[0], 1), dtype=np.int64), np.cumsum(strong, axis=1)], axis=1
+    )
+    run_strong = cs[stats.run_y, stats.run_xe] - cs[stats.run_y, stats.run_xs]
+    keep = np.bincount(stats.run_ci, weights=run_strong, minlength=stats.n) > 0
+    return stats.paint(weak.shape, keep)
+
+
+def _hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain on (n, 2) int (x, y) points -> CCW hull
+    vertices (k, 2). Handles collinear/degenerate inputs."""
+    pts = np.unique(points, axis=0)  # sorts lexicographically by (x, y)
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for pnt in seq:
+            while (
+                len(out) >= 2
+                and (out[-1][0] - out[-2][0]) * (pnt[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (pnt[0] - out[-2][0])
+                <= 0
+            ):
+                out.pop()
+            out.append(pnt)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def _fill_hull_rows(hull: np.ndarray, out: np.ndarray) -> None:
+    """Scanline-fill a convex polygon given by lattice-point vertices
+    into bool image ``out``: per row, the covered x-interval is the
+    [min, max] of every edge's intersection with that row."""
+    ys = hull[:, 1]
+    y0, y1 = int(ys.min()), int(ys.max())
+    n_rows = y1 - y0 + 1
+    xlo = np.full(n_rows, np.inf)
+    xhi = np.full(n_rows, -np.inf)
+    k = len(hull)
+    for i in range(k):
+        xa, ya = hull[i]
+        xb, yb = hull[(i + 1) % k]
+        if ya == yb:
+            r = ya - y0
+            lo, hi = (xa, xb) if xa <= xb else (xb, xa)
+            xlo[r] = min(xlo[r], lo)
+            xhi[r] = max(xhi[r], hi)
+            continue
+        yy = np.arange(min(ya, yb), max(ya, yb) + 1)
+        xx = xa + (yy - ya) * (xb - xa) / (yb - ya)
+        r = yy - y0
+        np.minimum.at(xlo, r, xx)
+        np.maximum.at(xhi, r, xx)
+    rows = np.nonzero(np.isfinite(xlo) & np.isfinite(xhi))[0]
+    for r in rows.tolist():
+        out[y0 + r, int(np.ceil(xlo[r] - 1e-9)) : int(np.floor(xhi[r] + 1e-9)) + 1] = True
+
+
+def convex_hull_mask(mask: np.ndarray) -> np.ndarray:
+    """K9 hull fill: per 8-connected component, fill the convex hull of
+    its pixels (reference form_canny_mask: findContours -> convexHull ->
+    drawContours(filled), cleaning.py:57-68). Hull candidates are each
+    run's two endpoints — interior run pixels can never be hull
+    vertices — so the per-component work is O(runs + hull)."""
+    stats = label_components(mask)
+    out = np.zeros_like(mask)
+    for ci in range(stats.n):
+        sel = stats.run_ci == ci
+        ys = stats.run_y[sel]
+        pts = np.concatenate(
+            [
+                np.stack([stats.run_xs[sel], ys], axis=1),
+                np.stack([stats.run_xe[sel] - 1, ys], axis=1),
+            ]
+        )
+        _fill_hull_rows(_hull(pts), out)
+    return out | mask
+
+
+def form_canny_mask(img: np.ndarray, mask: np.ndarray | None = None) -> np.ndarray:
+    """K9 composition, faithful to reference cleaning.py:51-68: edge
+    mask of ``img`` (already blurred by the caller, as in the
+    reference), AND'ed with the size-filtered CC ``mask`` BEFORE the
+    hull pass, then per-component convex hulls filled."""
+    edges = sobel_edges(img)
+    if mask is not None:
+        edges = edges & mask
+    return convex_hull_mask(edges)
+
+
 def segment_into_lines(mask: np.ndarray, axis: int, threshold: int = 1) -> list[tuple[int, int]]:
     """K12: projection-profile runs where nonzero count > threshold."""
     profile = np.count_nonzero(mask, axis=1 - axis) > threshold

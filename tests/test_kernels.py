@@ -236,3 +236,70 @@ def test_tall_narrow_bubble_detected():
     assert len(rects) == 1
     x1, y1, x2, y2 = rects[0]
     assert (x2 - x1, y2 - y1) == (74, 407)
+
+
+class TestCannyHull:
+    """K9: edge mask + per-component convex hull fill (reference
+    form_canny_mask, modules/cleaning.py:51-68)."""
+
+    def test_strong_edge_kept_weak_isolated_dropped(self):
+        from mangaextractor_spark.kernels.image_ops import sobel_edges
+
+        img = np.full((40, 60), 255, dtype=np.uint8)
+        img[10:20, 10:20] = 0  # strong step: |grad| >> 255
+        img[25:35, 40:50] = 215  # weak step: contrast 40 -> mag < 255
+        edges = sobel_edges(img)
+        assert edges[8:22, 8:22].any()  # strong square outlined
+        assert not edges[23:37, 38:52].any()  # weak-only component dropped
+
+    def test_weak_attached_to_strong_survives(self):
+        from mangaextractor_spark.kernels.image_ops import sobel_edges
+
+        img = np.full((30, 80), 255, dtype=np.uint8)
+        img[14:16, 5:40] = 0  # strong bar
+        img[14:16, 40:70] = 205  # weak continuation, touches the strong edge
+        edges = sobel_edges(img)
+        assert edges[13:17, 38:66].any()  # hysteresis keeps the weak tail
+
+    def test_hull_fills_concavities(self):
+        from mangaextractor_spark.kernels.image_ops import convex_hull_mask
+
+        mask = np.zeros((30, 30), dtype=bool)
+        mask[5:25, 5:10] = True  # L shape
+        mask[20:25, 5:25] = True
+        hull = convex_hull_mask(mask)
+        assert hull[mask].all()
+        # row 10: mask covers x 5..9 only; the hull edge (9,5)->(24,20)
+        # extends the row to x <= 14 — the concavity gets filled
+        assert hull[10, 12]
+        assert not hull[10, 20]  # beyond the hull edge stays clear
+        assert not hull[2, 2]  # outside stays clear
+
+    def test_ring_becomes_disk(self):
+        from mangaextractor_spark.kernels.image_ops import convex_hull_mask
+
+        mask = np.zeros((40, 40), dtype=bool)
+        mask[10:30, 10:30] = True
+        mask[13:27, 13:27] = False  # hollow square outline
+        hull = convex_hull_mask(mask)
+        assert hull[10:30, 10:30].all()
+
+    def test_form_canny_mask_covers_glyph_ink(self):
+        """The ladder's contract: every ink pixel of rendered text must
+        be inside the hull mask of its own edges."""
+        from mangaextractor_spark.kernels.image_ops import form_canny_mask
+
+        block = render_text_block("ABC", 2)
+        img = np.full((block.shape[0] + 20, block.shape[1] + 20), 255, dtype=np.uint8)
+        img[10 : 10 + block.shape[0], 10 : 10 + block.shape[1]][block] = 0
+        cmask = form_canny_mask(img)
+        ink = img < 128
+        assert cmask[ink].all()
+
+    def test_mask_gates_the_edges(self):
+        from mangaextractor_spark.kernels.image_ops import form_canny_mask
+
+        img = np.full((40, 40), 255, dtype=np.uint8)
+        img[10:20, 10:20] = 0
+        gate = np.zeros((40, 40), dtype=bool)  # gate excludes everything
+        assert not form_canny_mask(img, mask=gate).any()
