@@ -9,6 +9,9 @@ bits, then *forced* to satisfy the decoding invariants:
   (so projection-profile segmentation recovers exact cell boundaries:
   inter-glyph gaps are the only empty columns, inter-line gaps the
   only empty rows);
+- the ink is one 8-connected component (real type is a connected
+  stroke; disconnected specks would fragment CC statistics and get
+  size-filtered by the cleaning ladder as noise);
 - all glyph patterns are unique (exact template match decodes).
 
 Glyph legibility is irrelevant — the pipeline's OCR stage is pluggable
@@ -34,6 +37,56 @@ SPACE_GAP = 3
 LINE_GAP = 1
 
 
+def _components(g: np.ndarray) -> list[list[tuple[int, int]]]:
+    """8-connected ink components of a small glyph cell (BFS)."""
+    seen = np.zeros_like(g)
+    comps: list[list[tuple[int, int]]] = []
+    for r0 in range(g.shape[0]):
+        for c0 in range(g.shape[1]):
+            if not g[r0, c0] or seen[r0, c0]:
+                continue
+            stack, comp = [(r0, c0)], []
+            seen[r0, c0] = True
+            while stack:
+                r, c = stack.pop()
+                comp.append((r, c))
+                for dr in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        rr, cc = r + dr, c + dc
+                        if (
+                            0 <= rr < g.shape[0]
+                            and 0 <= cc < g.shape[1]
+                            and g[rr, cc]
+                            and not seen[rr, cc]
+                        ):
+                            seen[rr, cc] = True
+                            stack.append((rr, cc))
+            comps.append(comp)
+    return comps
+
+
+def _connect(g: np.ndarray) -> None:
+    """Bridge ink pieces until the glyph is one 8-connected component:
+    repeatedly join the first component to its chebyshev-nearest other
+    component along a diagonal-stepping (8-connected) path."""
+    while True:
+        comps = _components(g)
+        if len(comps) <= 1:
+            return
+        best = None
+        for comp in comps[1:]:
+            for r1, c1 in comps[0]:
+                for r2, c2 in comp:
+                    d = max(abs(r1 - r2), abs(c1 - c2))
+                    if best is None or d < best[0]:
+                        best = (d, r1, c1, r2, c2)
+        _, r, c, r2, c2 = best
+        while (r, c) != (r2, c2):
+            r += (r2 > r) - (r2 < r)
+            c += (c2 > c) - (c2 < c)
+            g[r, c] = True
+
+
 @lru_cache(maxsize=1)
 def glyph_table() -> dict[str, np.ndarray]:
     """char -> bool (7,5) ink mask."""
@@ -50,9 +103,20 @@ def glyph_table() -> dict[str, np.ndarray]:
         for c in range(GLYPH_W):
             if not g[:, c].any():
                 g[c % GLYPH_H, c] = True
+        _connect(g)
         key = g.tobytes()
-        while key in seen:  # vanishing probability; deterministic fixup
-            g[0, 0] = not g[0, 0]
+        while key in seen:  # vanishing probability; deterministic fixup:
+            # add one ink pixel adjacent to existing ink (preserves
+            # connectivity and row/column coverage) and retry
+            done = False
+            for r in range(GLYPH_H):
+                for c in range(GLYPH_W):
+                    if not g[r, c] and g[max(0, r - 1) : r + 2, max(0, c - 1) : c + 2].any():
+                        g[r, c] = True
+                        done = True
+                        break
+                if done:
+                    break
             key = g.tobytes()
         seen.add(key)
         table[ch] = g

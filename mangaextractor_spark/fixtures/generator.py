@@ -55,6 +55,13 @@ class CorpusSpec:
     p_empty_bubble: float = 0.12
     vertical_text: bool = False  # tategaki columns (jpn_vert analog)
     p_furigana: float = 0.0  # vertical mode: chance of a ruby side column
+    # Noisy-scan knobs (defaults = clean corpus). These produce pages
+    # where the whiteness-CC fast path demonstrably fails and only the
+    # robust cleaning-ladder mode (extract_page_regions(robust=True))
+    # reproduces the golden spans:
+    bubble_fill: int = 255  # <240 = off-white bubbles, invisible to the whiteness mask
+    p_speckle: float = 0.0  # per-lattice-site chance of a 1px dark speck inside bubbles
+    border_art: bool = False  # large black blobs in page margins (robust must reject)
 
 
 def _doc_rng(spec: CorpusSpec, doc_idx: int) -> np.random.Generator:
@@ -105,13 +112,14 @@ def _render_page(
             by2 = cy1 + cell_h - margin_y - int(rng.integers(0, max(1, cell_h // 10)))
             if bx2 - bx1 < 40 or by2 - by1 < 30:
                 continue
-            img[by1:by2, bx1:bx2] = 255
+            img[by1:by2, bx1:bx2] = spec.bubble_fill
             img[by1 : by1 + BORDER, bx1:bx2] = 0
             img[by2 - BORDER : by2, bx1:bx2] = 0
             img[by1:by2, bx1 : bx1 + BORDER] = 0
             img[by1:by2, bx2 - BORDER : bx2] = 0
 
             text = ""
+            ink_rect = None  # tight bbox of rendered ink (the ordering key)
             if rng.random() > spec.p_empty_bubble:
                 pad = 3 * s + BORDER
                 avail_w = (bx2 - bx1) - 2 * pad
@@ -147,6 +155,7 @@ def _render_page(
                 ty, tx = by1 + 3 * s + BORDER, bx1 + 3 * s + BORDER
                 region = img[ty : ty + block.shape[0], tx : tx + block.shape[1]]
                 region[block[: region.shape[0], : region.shape[1]]] = 0
+                ink_rect = (tx, ty, tx + region.shape[1], ty + region.shape[0])
                 if spec.vertical_text and rng.random() < spec.p_furigana:
                     # Ruby (furigana) side column: half-scale glyphs to the
                     # RIGHT of the main text, within 3x its width — exactly
@@ -166,14 +175,78 @@ def _render_page(
                         rr = img[ry : ry + ruby.shape[0], rx : rx + ruby.shape[1]]
                         rr[ruby[: rr.shape[0], : rr.shape[1]]] = 0
                         has_ruby = True
+                        ink_rect = (
+                            min(ink_rect[0], rx),
+                            min(ink_rect[1], ry),
+                            max(ink_rect[2], rx + rr.shape[1]),
+                            max(ink_rect[3], ry + rr.shape[0]),
+                        )
             bubbles.append(
                 {"x1": bx1, "y1": by1, "x2": bx2, "y2": by2,
-                 "glyph_text": text.replace("\n", " "), "has_ruby": has_ruby}
+                 "glyph_text": text.replace("\n", " "), "has_ruby": has_ruby,
+                 "ink_rect": ink_rect}
             )
-    ranks = reading_order([(b["x1"], b["y1"], b["x2"], b["y2"]) for b in bubbles])
-    for b, r in zip(bubbles, ranks):
+    if spec.p_speckle > 0:
+        _add_speckle(img, rng, spec, bubbles)
+    if spec.border_art:
+        _add_border_art(img, rng, bubbles)
+    # Reading order is defined over the TIGHT INK RECTS of the non-empty
+    # text regions (north_star: "sort detected text regions"), so every
+    # detector — whiteness-CC or cleaning ladder — that finds the same
+    # text derives the same sequence. Empty bubbles never emit spans;
+    # they get stable trailing ranks so region tables remain total.
+    nonempty = [b for b in bubbles if b["ink_rect"] is not None]
+    for b, r in zip(nonempty, reading_order([b["ink_rect"] for b in nonempty])):
         b["reading_rank"] = r
+    nxt = len(nonempty)
+    for b in bubbles:
+        if b["ink_rect"] is None:
+            b["reading_rank"] = nxt
+            nxt += 1
+        del b["ink_rect"]
     return img, bubbles
+
+
+def _add_speckle(
+    img: np.ndarray, rng: np.random.Generator, spec: CorpusSpec, bubbles: list[dict]
+) -> None:
+    """1px dark specks on a 4px lattice inside bubble interiors, kept
+    >= 4px clear of any existing ink so they can never merge with glyph
+    (or border) components — the robust ladder's size filter must drop
+    them as isolated specks, not as text damage."""
+    ink = img < 128
+    for b in bubbles:
+        y0, y1 = b["y1"] + BORDER + 3, b["y2"] - BORDER - 3
+        x0, x1 = b["x1"] + BORDER + 3, b["x2"] - BORDER - 3
+        for y in range(y0, y1, 4):
+            for x in range(x0, x1, 4):
+                if rng.random() >= spec.p_speckle:
+                    continue
+                if ink[max(0, y - 4) : y + 5, max(0, x - 4) : x + 5].any():
+                    continue
+                img[y, x] = int(rng.integers(30, 90))
+                ink[y, x] = True
+
+
+def _add_border_art(img: np.ndarray, rng: np.random.Generator, bubbles: list[dict]) -> None:
+    """Large black blobs (r=45 discs) pinned to page corners when they
+    clear every bubble by >= 6px. Far above the size filter's 4x-average
+    cutoff, so the robust ladder must reject them outright; the
+    whiteness path never sees them (they are not white)."""
+    h, w = img.shape
+    r = 45
+    yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+    disc = (yy * yy + xx * xx) <= r * r
+    for cy, cx in ((r + 1, r + 1), (h - r - 2, w - r - 2), (r + 1, w - r - 2)):
+        clear = all(
+            cx + r < b["x1"] - 6 or cx - r > b["x2"] + 6
+            or cy + r < b["y1"] - 6 or cy - r > b["y2"] + 6
+            for b in bubbles
+        )
+        if not clear:
+            continue
+        region = img[cy - r : cy + r + 1, cx - r : cx + r + 1]
+        region[disc[: region.shape[0], : region.shape[1]]] = 0
 
 
 def generate_corpus(

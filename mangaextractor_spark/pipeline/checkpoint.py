@@ -66,6 +66,7 @@ def run_extraction(
     fail_on_chunk: int | None = None,
     run_id: str | None = None,
     furigana: bool = False,
+    robust: bool = False,
 ) -> DataFrame:
     """Execute the pipeline chunk-by-chunk with lineage; returns the
     final numbered span DataFrame (also written to ``{out_dir}/spans``).
@@ -103,6 +104,7 @@ def run_extraction(
             chunk_pages,
             engine=engine,
             furigana=furigana,
+            robust=robust,
             num_partitions=0 if well_split else None,
         )
         # Idempotent commit: overwrite this chunk's directory, then append

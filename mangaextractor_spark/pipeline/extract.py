@@ -53,7 +53,7 @@ OCR_SCHEMA = (
 _OCR_COLS = ["doc_id", "offset", "media_ref", "bubble_rank", "text", "x1", "y1", "x2", "y2"]
 
 
-def _kernel(engine_name: str, furigana: bool = False):
+def _kernel(engine_name: str, furigana: bool = False, robust: bool = False):
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Imports inside the task: executors only need the package, and
         # the engine is constructed once per task, not per row/batch.
@@ -70,7 +70,7 @@ def _kernel(engine_name: str, furigana: bool = False):
             ):
                 try:
                     img = decode_gray_png(bytes(png))
-                    regions = extract_page_regions(img)
+                    regions = extract_page_regions(img, robust=robust)
                 except Exception:
                     # Corrupt/undecodable page: the reference drops failed
                     # pages (parallel_processor.py:180-184); at corpus
@@ -107,6 +107,7 @@ def ocr_pages(
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     num_partitions: int | None = None,
     furigana: bool = False,
+    robust: bool = False,
 ) -> DataFrame:
     """(doc_id, offset, media_ref, image_png) -> one row per detected
     bubble.
@@ -128,14 +129,14 @@ def ocr_pages(
     the media scan's split count.
     """
     if num_partitions == 0:
-        return pages.mapInPandas(_kernel(engine, furigana), OCR_SCHEMA)
+        return pages.mapInPandas(_kernel(engine, furigana, robust), OCR_SCHEMA)
     sc = pages.sparkSession.sparkContext
     salt = F.pmod(F.xxhash64("media_ref"), F.lit(salt_buckets))
     key = F.concat_ws("#", F.col("doc_id"), salt.cast("string"))
     # 3x parallelism: small enough tasks to balance residual salt-bucket
     # skew, large enough to amortize Python-worker startup per task.
     n = num_partitions or 3 * sc.defaultParallelism
-    return pages.repartition(n, key).mapInPandas(_kernel(engine, furigana), OCR_SCHEMA)
+    return pages.repartition(n, key).mapInPandas(_kernel(engine, furigana, robust), OCR_SCHEMA)
 
 
 def extract_spans(
@@ -144,6 +145,7 @@ def extract_spans(
     engine: str = "glyph",
     broadcast_meta: bool = True,
     furigana: bool = False,
+    robust: bool = False,
 ) -> DataFrame:
     """Full pipeline: returns (doc_id, kind, text, media_ref, order).
 
@@ -169,7 +171,11 @@ def extract_spans(
     # lists files, it runs no job.
     well_split = media.rdd.getNumPartitions() >= media.sparkSession.sparkContext.defaultParallelism
     ocr = ocr_pages(
-        pages, engine=engine, num_partitions=0 if well_split else None, furigana=furigana
+        pages,
+        engine=engine,
+        num_partitions=0 if well_split else None,
+        furigana=furigana,
+        robust=robust,
     )
     return number_spans(spans, ocr)
 

@@ -17,8 +17,9 @@ from . import register
     "extract_manga_spans",
     None,
     doc="Full manga extraction pipeline on a deterministic synthetic "
-    "corpus (seed=42): interleaved doc spans -> page decode -> bubble "
-    "segmentation -> OCR -> RTL/TTB ordering -> numbered span table.",
+    "corpus (seed=42): interleaved doc spans -> page decode -> robust "
+    "cleaning-ladder segmentation (K4-K15 composition, robust=True) -> "
+    "OCR -> RTL/TTB ordering -> numbered span table.",
     tags=("extraction", "pipeline"),
 )
 def extract_manga_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,7 +30,7 @@ def extract_manga_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = generate_corpus(CorpusSpec(n_docs=16, seed=42))
     docs = docs_to_spark(spark, corpus["documents"])
     media = media_to_spark(spark, corpus["media"])
-    return extract_spans(docs, media)
+    return extract_spans(docs, media, robust=True)
 
 
 @register(
