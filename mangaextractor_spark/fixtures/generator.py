@@ -7,7 +7,7 @@ encoded as real PNG bytes addressed by ``media_ref``. Emits:
 
 - ``documents``  (doc_id, spans: list of span dicts) — the interleaved
   text+image input table per BASELINE.json input_hint;
-- ``media``      (media_ref, image_png, width, height, page_md5);
+- ``media``      (media_ref, image_bytes, width, height, page_md5);
 - ``golden_spans`` (doc_id, kind, text, media_ref, order) — computed
   from the generation parameters (NOT by running the pipeline);
 - ``golden_regions`` (media_ref, bubble_idx, x1..y2, glyph_text,
@@ -62,6 +62,7 @@ class CorpusSpec:
     bubble_fill: int = 255  # <240 = off-white bubbles, invisible to the whiteness mask
     p_speckle: float = 0.0  # per-lattice-site chance of a 1px dark speck inside bubbles
     border_art: bool = False  # large black blobs in page margins (robust must reject)
+    p_jpeg: float = 0.0  # per-page chance of baseline-JPEG (q95) instead of PNG encoding
 
 
 def _doc_rng(spec: CorpusSpec, doc_idx: int) -> np.random.Generator:
@@ -299,11 +300,18 @@ def _generate_doc(spec: CorpusSpec, di: int) -> tuple[dict, list, list, list]:
             offset += 1
         media_ref = f"{doc_id}#p{p + 1}"
         img, bubbles = _render_page(rng, spec)
-        png = encode_gray_png(img)
+        # Short-circuit keeps the rng stream untouched when p_jpeg=0, so
+        # pre-existing corpora (and their goldens) are bit-identical.
+        if spec.p_jpeg > 0 and rng.random() < spec.p_jpeg:
+            from .jpeg import encode_gray_jpeg
+
+            png = encode_gray_jpeg(img, quality=95)
+        else:
+            png = encode_gray_png(img)
         media_rows.append(
             {
                 "media_ref": media_ref,
-                "image_png": png,
+                "image_bytes": png,
                 "width": img.shape[1],
                 "height": img.shape[0],
                 "page_md5": hashlib.md5(png).hexdigest(),

@@ -28,7 +28,7 @@ DOCUMENTS_SCHEMA = T.StructType(
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), False),
-        T.StructField("image_png", T.BinaryType(), False),
+        T.StructField("image_bytes", T.BinaryType(), False),
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
         T.StructField("page_md5", T.StringType(), False),
@@ -59,7 +59,7 @@ def docs_to_spark(spark: SparkSession, docs_pdf: pd.DataFrame) -> DataFrame:
 
 def media_to_spark(spark: SparkSession, media_pdf: pd.DataFrame) -> DataFrame:
     rows = [
-        (r["media_ref"], bytes(r["image_png"]), int(r["width"]), int(r["height"]), r["page_md5"])
+        (r["media_ref"], bytes(r["image_bytes"]), int(r["width"]), int(r["height"]), r["page_md5"])
         for _, r in media_pdf.iterrows()
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

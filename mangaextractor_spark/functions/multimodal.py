@@ -53,17 +53,22 @@ def _parse_png_header(b: bytes) -> tuple[int, int, int] | None:
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
-    """(media_ref, image_png) -> typed metadata rows. Header parsing is
+    """(media_ref, image_bytes) -> typed metadata rows. Header parsing is
     a few bytes per row — stays in one mapInPandas scan, no shuffle."""
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.decode import jpeg_dimensions
+
         for pdf in batches:
             rows = []
-            for ref, b in zip(pdf["media_ref"], pdf["image_png"]):
+            for ref, b in zip(pdf["media_ref"], pdf["image_bytes"]):
                 b = bytes(b)
                 hdr = _parse_png_header(b)
-                fmt = "png" if hdr else "unknown"
-                w, h, d = hdr if hdr else (0, 0, 0)
+                if hdr:
+                    fmt, (w, h, d) = "png", hdr
+                else:
+                    jh = jpeg_dimensions(b)
+                    fmt, (w, h, d) = ("jpeg", jh) if jh else ("unknown", (0, 0, 0))
                 rows.append((ref, fmt, w, h, d, len(b), hashlib.md5(b).hexdigest()))
             yield pd.DataFrame(
                 rows,
@@ -73,7 +78,7 @@ def media_metadata(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return media.select("media_ref", "image_png").mapInPandas(kern, MEDIA_META_SCHEMA)
+    return media.select("media_ref", "image_bytes").mapInPandas(kern, MEDIA_META_SCHEMA)
 
 
 def block_average_downscale(img: np.ndarray, max_side: int) -> np.ndarray:
@@ -90,20 +95,21 @@ def block_average_downscale(img: np.ndarray, max_side: int) -> np.ndarray:
 
 
 def thumbnails(media: DataFrame, max_side: int = 154) -> DataFrame:
-    """P8 cover-thumbnail kernel over PNG pages; emits re-encoded PNGs."""
+    """P8 cover-thumbnail kernel over PNG/JPEG pages; emits PNGs."""
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..fixtures.png import decode_gray_png, encode_gray_png
+        from ..fixtures.png import encode_gray_png
+        from ..sources.decode import decode_gray_image
 
         for pdf in batches:
             rows = []
-            for ref, b in zip(pdf["media_ref"], pdf["image_png"]):
-                img = decode_gray_png(bytes(b))
+            for ref, b in zip(pdf["media_ref"], pdf["image_bytes"]):
+                img = decode_gray_image(bytes(b))
                 thumb = block_average_downscale(img, max_side)
                 rows.append((ref, encode_gray_png(thumb), thumb.shape[1], thumb.shape[0]))
             yield pd.DataFrame(rows, columns=["media_ref", "thumb_png", "thumb_w", "thumb_h"])
 
-    return media.select("media_ref", "image_png").mapInPandas(kern, THUMBNAIL_SCHEMA)
+    return media.select("media_ref", "image_bytes").mapInPandas(kern, THUMBNAIL_SCHEMA)
 
 
 def video_frame_sample(media: DataFrame, every_n: int = 24) -> DataFrame:
@@ -120,7 +126,7 @@ def video_frame_sample(media: DataFrame, every_n: int = 24) -> DataFrame:
                 )
             yield pd.DataFrame(columns=["media_ref", "frame_idx", "frame_png"])
 
-    return media.select("media_ref", "image_png").mapInPandas(kern, FRAME_SAMPLE_SCHEMA)
+    return media.select("media_ref", "image_bytes").mapInPandas(kern, FRAME_SAMPLE_SCHEMA)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -135,9 +141,9 @@ def audio_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(columns=["media_ref", "duration_s", "rms", "n_samples"])
 
-    return media.select("media_ref", "image_png").mapInPandas(kern, AUDIO_FEATURES_SCHEMA)
+    return media.select("media_ref", "image_bytes").mapInPandas(kern, AUDIO_FEATURES_SCHEMA)
 
 
 def media_md5(media: DataFrame) -> DataFrame:
     """P4 content hash as a pure Column expression (JVM-side md5)."""
-    return media.select("media_ref", F.md5("image_png").alias("content_md5"))
+    return media.select("media_ref", F.md5("image_bytes").alias("content_md5"))

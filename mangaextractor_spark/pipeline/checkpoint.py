@@ -82,7 +82,7 @@ def run_extraction(
     pages = (
         spans.filter(F.col("kind") == "image")
         .select("doc_id", "offset", "media_ref")
-        .join(media.select("media_ref", "image_png"), "media_ref")
+        .join(media.select("media_ref", "image_bytes"), "media_ref")
         .withColumn("chunk", F.pmod(F.xxhash64("media_ref"), F.lit(n_chunks)).cast("int"))
     )
     done = completed_chunks(spark, out_dir)

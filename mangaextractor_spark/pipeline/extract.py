@@ -5,7 +5,7 @@ core/parallel_processor.py:79-117 runs segment -> detect -> OCR per
 page in a thread pool; here the same stages are one ``mapInPandas``
 Arrow stage over a salted-repartitioned page table):
 
-  documents (doc_id, spans[])                 media (media_ref, image_png)
+  documents (doc_id, spans[])                 media (media_ref, image_bytes)
         |  posexplode                                    |
   text spans        image spans --join media_ref--> pages
         |                                               | salted repartition
@@ -57,19 +57,19 @@ def _kernel(engine_name: str, furigana: bool = False, robust: bool = False):
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Imports inside the task: executors only need the package, and
         # the engine is constructed once per task, not per row/batch.
-        from ..fixtures.png import decode_gray_png
         from ..kernels.furigana import remove_furigana
         from ..kernels.image_ops import extract_page_regions
         from ..kernels.ocr import get_engine
+        from ..sources.decode import decode_gray_image
 
         engine = get_engine(engine_name)
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, offset, ref, png in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image_png"]
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["image_bytes"]
             ):
                 try:
-                    img = decode_gray_png(bytes(png))
+                    img = decode_gray_image(bytes(png))
                     regions = extract_page_regions(img, robust=robust)
                 except Exception:
                     # Corrupt/undecodable page: the reference drops failed
@@ -109,7 +109,7 @@ def ocr_pages(
     furigana: bool = False,
     robust: bool = False,
 ) -> DataFrame:
-    """(doc_id, offset, media_ref, image_png) -> one row per detected
+    """(doc_id, offset, media_ref, image_bytes) -> one row per detected
     bubble.
 
     The kernel's unit of work is a PAGE, so a page-granular input
@@ -163,7 +163,7 @@ def extract_spans(
     meta = spans.filter(F.col("kind") == "image").select("doc_id", "offset", "media_ref")
     if broadcast_meta:
         meta = F.broadcast(meta)
-    pages = media.select("media_ref", "image_png").join(meta, "media_ref")
+    pages = media.select("media_ref", "image_bytes").join(meta, "media_ref")
     # Page-granular-enough scan (>= cluster parallelism splits): map the
     # kernel straight over it — no image-byte shuffle. Under-split scan:
     # salted repartition (pays the byte shuffle to buy parallelism and

@@ -37,11 +37,12 @@ def extract_manga_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_ops",
     None,  # binary-media kernels have no SQL twin -> rows-only check;
     # exact values are asserted against fixture parameters in tests.
-    doc="Multimodal column operators over the synthetic media table: PNG "
-    "header metadata (format/width/height/bit_depth), content md5, and "
-    "P8 block-average thumbnails — joined into one row per page. All "
-    "three are single-scan mapInPandas/Column stages (no shuffle before "
-    "the join, and the join keys are the same media_ref partitioning).",
+    doc="Multimodal column operators over a MIXED-FORMAT synthetic media "
+    "table (~half PNG, half baseline JPEG): header metadata "
+    "(format/width/height/bit_depth), content md5, and P8 block-average "
+    "thumbnails (both decoders exercised) — joined into one row per "
+    "page. All three are single-scan mapInPandas/Column stages (no "
+    "shuffle before the join, same media_ref partitioning).",
     tags=("multimodal",),
 )
 def media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +50,7 @@ def media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures.spark_io import media_to_spark
     from ..functions.multimodal import media_metadata, thumbnails
 
-    corpus = generate_corpus(CorpusSpec(n_docs=12, seed=42))
+    corpus = generate_corpus(CorpusSpec(n_docs=12, seed=42, p_jpeg=0.4))
     media = media_to_spark(spark, corpus["media"]).cache()
     meta = media_metadata(media)  # includes the P4 content_md5
     th = thumbnails(media).select("media_ref", "thumb_w", "thumb_h")

@@ -33,7 +33,7 @@ SKIP_DIR_RE = r"(?i)(^|/)(tmp|concluido|capa[^/]*)(/|$)"
 def read_page_images(
     spark: SparkSession, root: str, pattern: str = "*.{png,jpg,jpeg}"
 ) -> DataFrame:
-    """Recursive binaryFile scan of ``root`` -> (media_ref, image_png).
+    """Recursive binaryFile scan of ``root`` -> (media_ref, image_bytes).
 
     ``media_ref`` is the path relative to ``root`` — stable across
     clusters/mounts, so it can serve as the join key with span rows.
@@ -47,7 +47,7 @@ def read_page_images(
     )
     media_ref = F.expr(f"substring(path, {len(prefix) + 1})")
     return (
-        df.select(media_ref.alias("media_ref"), F.col("content").alias("image_png"))
+        df.select(media_ref.alias("media_ref"), F.col("content").alias("image_bytes"))
         .filter(~F.col("media_ref").rlike(SKIP_DIR_RE))
     )
 

@@ -35,7 +35,7 @@ def file_tree(corpus, tmp_path_factory):
             if sp["kind"] != "image":
                 continue
             fname = f"page_{page_no:04d}.png"
-            png = corpus["media"].set_index("media_ref").loc[sp["media_ref"], "image_png"]
+            png = corpus["media"].set_index("media_ref").loc[sp["media_ref"], "image_bytes"]
             (d / fname).write_bytes(bytes(png))
             ref_map[sp["media_ref"]] = f"{d.name}/{fname}"
             page_no += 1

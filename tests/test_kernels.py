@@ -177,7 +177,7 @@ class TestPageExtraction:
         eng = GlyphOcrEngine()
         regions = corpus["golden_regions"]
         for _, m in corpus["media"].iterrows():
-            img = decode_gray_png(m["image_png"])
+            img = decode_gray_png(m["image_bytes"])
             regs = extract_page_regions(img)
             texts = eng.decode_batch([r.ink for r in regs])
             got = [t for _, t in sorted(zip([r.reading_rank for r in regs], texts)) if t]
@@ -193,7 +193,7 @@ class TestPageExtraction:
         corpus = generate_corpus(CorpusSpec(n_docs=6, seed=11))
         regions = corpus["golden_regions"]
         for _, m in corpus["media"].iterrows():
-            img = decode_gray_png(m["image_png"])
+            img = decode_gray_png(m["image_bytes"])
             rects = detect_bubbles(img)
             gt = regions[regions.media_ref == m["media_ref"]]
             assert len(rects) == len(gt)

@@ -85,7 +85,7 @@ class TestMultimodalPlumbing:
             r = rows[m["media_ref"]]
             assert (r.format, r.width, r.height, r.bit_depth) == ("png", m["width"], m["height"], 8)
             assert r.content_md5 == m["page_md5"]
-            assert r.n_bytes == len(m["image_png"])
+            assert r.n_bytes == len(m["image_bytes"])
 
     def test_media_md5_matches_jvm_side(self, spark, media_df):
         df, pdf = media_df

@@ -103,7 +103,7 @@ def test_salted_repartition_path_matches_golden(spark, corpus):
         "doc_id", "sp.kind", "sp.text", "sp.media_ref", "sp.offset"
     )
     meta = spans.filter(F.col("kind") == "image").select("doc_id", "offset", "media_ref")
-    pages = media.select("media_ref", "image_png").join(F.broadcast(meta), "media_ref")
+    pages = media.select("media_ref", "image_bytes").join(F.broadcast(meta), "media_ref")
     result = number_spans(spans, ocr_pages(pages))  # num_partitions=None -> salted
     golden = golden_to_spark(spark, corpus["golden_spans"])
     key = ["doc_id", "kind", "text", "media_ref", "order"]

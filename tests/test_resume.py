@@ -82,7 +82,7 @@ def test_corrupt_page_is_counted_not_fatal(spark, tmp_path):
     corpus = generate_corpus(CorpusSpec(n_docs=6, seed=8))
     media_pdf = corpus["media"].copy()
     bad_ref = media_pdf.iloc[0]["media_ref"]
-    media_pdf.loc[media_pdf["media_ref"] == bad_ref, "image_png"] = b"not a png"
+    media_pdf.loc[media_pdf["media_ref"] == bad_ref, "image_bytes"] = b"not a png"
     docs = docs_to_spark(spark, corpus["documents"])
     media = media_to_spark(spark, media_pdf)
 
