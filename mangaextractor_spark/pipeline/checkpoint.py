@@ -79,12 +79,28 @@ def run_extraction(
     spans = docs.select("doc_id", F.explode("spans").alias("sp")).select(
         "doc_id", "sp.kind", "sp.text", "sp.media_ref", "sp.offset"
     )
-    pages = (
-        spans.filter(F.col("kind") == "image")
-        .select("doc_id", "offset", "media_ref")
-        .join(media.select("media_ref", "image_bytes"), "media_ref")
-        .withColumn("chunk", F.pmod(F.xxhash64("media_ref"), F.lit(n_chunks)).cast("int"))
-    )
+    # SINGLE-PASS materialization: the docs-media join runs ONCE, writing
+    # the page table physically partitioned by chunk; every per-chunk
+    # iteration below then reads only its own partition directory
+    # (partition pruning), instead of re-scanning the media table and
+    # re-executing the join once per chunk (n_chunks x the input IO).
+    # The _SUCCESS marker makes the materialization itself resumable: a
+    # run killed mid-chunk-loop reuses the committed page table, so a
+    # resumed run performs ZERO media scans. (Iceberg: this is the
+    # bucket-partitioned staging table; out_dir is per run-config, so
+    # the staging content is never stale for its lineage.)
+    pages_dir = f"{out_dir}/_pages"
+    if not Path(f"{pages_dir}/_SUCCESS").exists():
+        (
+            spans.filter(F.col("kind") == "image")
+            .select("doc_id", "offset", "media_ref")
+            .join(media.select("media_ref", "image_bytes"), "media_ref")
+            .withColumn("chunk", F.pmod(F.xxhash64("media_ref"), F.lit(n_chunks)).cast("int"))
+            .write.partitionBy("chunk")
+            .mode("overwrite")
+            .parquet(pages_dir)
+        )
+    pages = spark.read.parquet(pages_dir)
     done = completed_chunks(spark, out_dir)
     for chunk in range(n_chunks):
         if chunk in done:
@@ -93,11 +109,11 @@ def run_extraction(
             raise ChunkFailure(f"injected failure before chunk {chunk} committed")
         t0 = time.monotonic()
         chunk_pages = pages.filter(F.col("chunk") == chunk).drop("chunk")
-        # Same auto-selection as extract_spans: a page-granular media
-        # scan needs no byte shuffle (the chunk filter keeps the scan's
-        # partitioning); under-split inputs take the salted repartition.
+        # Same auto-selection as extract_spans: the pruned chunk scan is
+        # page-granular (needs no byte shuffle) when it has enough
+        # splits; under-split chunks take the salted repartition.
         well_split = (
-            media.rdd.getNumPartitions()
+            chunk_pages.rdd.getNumPartitions()
             >= spark.sparkContext.defaultParallelism
         )
         ocr = ocr_pages(

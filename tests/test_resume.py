@@ -98,3 +98,31 @@ def test_corrupt_page_is_counted_not_fatal(spark, tmp_path):
     run_extraction(spark, docs, media, out, n_chunks=2)
     lineage = spark.read.parquet(f"{out}/_lineage")
     assert lineage.agg(F.sum("n_failed_pages")).first()[0] == 1
+
+
+def test_resume_never_rescans_media(spark, tmp_path):
+    """Behavioral proof of the single-pass design: the media table is
+    scanned only while materializing the chunk-partitioned page table.
+    A resumed run must complete even if the ORIGINAL media files are
+    gone — it reads the committed staging table, not the source."""
+    import shutil
+
+    corpus = generate_corpus(CorpusSpec(n_docs=8, seed=17))
+    media_dir = str(tmp_path / "media_src")
+    media_to_spark(spark, corpus["media"]).write.parquet(media_dir)
+    docs = docs_to_spark(spark, corpus["documents"])
+    media = spark.read.parquet(media_dir)
+
+    out = str(tmp_path / "out")
+    with pytest.raises(ChunkFailure):
+        run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS, fail_on_chunk=2)
+
+    shutil.rmtree(media_dir)  # source vanishes between runs
+    resumed = run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS)
+    clean = generate_corpus(CorpusSpec(n_docs=8, seed=17))["golden_spans"]
+    got = _collect_sorted(resumed)
+    exp = sorted(
+        (r.doc_id, "text", r.text, r.media_ref, r.order)
+        for r in clean.itertuples()
+    )
+    assert got == exp
