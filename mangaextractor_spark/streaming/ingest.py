@@ -5,10 +5,16 @@ The reference has no streaming (its closest analog is the batch-list
 queue, gui/window.py:221-266, and the `concluido/` resume marker);
 this module is the engine's forward-looking ingest mode: new document
 parquet files landing in a directory are picked up by a file stream,
-each micro-batch runs the SAME batch pipeline (pipeline/extract), and
-spans append transactionally under a streaming checkpoint — so a
-killed stream resumes at the exact batch boundary without duplicating
-spans (the streaming twin of pipeline/checkpoint's chunk lineage).
+and each micro-batch runs the SAME batch pipeline (pipeline/extract).
+
+Exactly-once = checkpointed batch ids x IDEMPOTENT batch commits: each
+micro-batch overwrites its own ``out_dir/batch_id=N`` partition
+directory (the same overwrite-by-key trick as the chunk runner,
+pipeline/checkpoint.py). foreachBatch alone is only at-least-once — a
+crash between a blind append and the checkpoint commit would replay
+the batch and duplicate spans; with per-batch overwrite the replay
+rewrites the identical directory instead. On a cluster the sink is an
+Iceberg table written via ``overwritePartitions`` keyed on batch_id.
 
 Safe by construction: a document is ONE row of the input table (its
 spans are an array), so no document ever straddles a micro-batch and
@@ -33,6 +39,21 @@ DOCS_SCHEMA = (
 )
 
 
+def batch_committer(media: DataFrame, out_dir: str, engine: str = "glyph"):
+    """Idempotent per-micro-batch commit: extract the batch's spans and
+    OVERWRITE ``out_dir/batch_id=N``. Replaying a batch (crash between
+    sink write and checkpoint commit) rewrites the same directory — no
+    duplicates. Module-level so tests can replay a batch directly."""
+
+    def process_batch(batch_docs: DataFrame, batch_id: int) -> None:
+        if batch_docs.isEmpty():
+            return
+        spans = extract_spans(batch_docs, media, engine=engine)
+        spans.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return process_batch
+
+
 def stream_extract(
     spark: SparkSession,
     docs_dir: str,
@@ -55,14 +76,8 @@ def stream_extract(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     docs_stream = reader.parquet(docs_dir)
 
-    def process_batch(batch_docs: DataFrame, batch_id: int) -> None:
-        if batch_docs.isEmpty():
-            return
-        spans = extract_spans(batch_docs, media, engine=engine)
-        spans.write.mode("append").parquet(out_dir)
-
     writer = (
-        docs_stream.writeStream.foreachBatch(process_batch)
+        docs_stream.writeStream.foreachBatch(batch_committer(media, out_dir, engine))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -100,3 +100,23 @@ def test_stream_restart_is_exactly_once(spark, corpus, tmp_path):
     q2 = stream_extract(spark, str(docs_dir), media, out, ckpt)
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_batch_replay_does_not_duplicate(spark, corpus, tmp_path):
+    """The crash-replay scenario foreachBatch can hit: the same batch id
+    delivered twice (sink write committed, checkpoint commit lost).
+    The idempotent per-batch overwrite must leave output unchanged."""
+    from mangaextractor_spark.streaming.ingest import batch_committer
+
+    media = media_to_spark(spark, corpus["media"])
+    docs = docs_to_spark(spark, corpus["documents"])
+    out = str(tmp_path / "replay_out")
+    commit = batch_committer(media, out)
+
+    commit(docs, 0)
+    first = _collect_sorted(spark.read.parquet(out))
+    assert len(first) > 0
+    commit(docs, 0)  # replayed batch
+    assert _collect_sorted(spark.read.parquet(out)) == first
+    commit(docs.limit(2), 1)  # a genuinely new batch still appends
+    assert spark.read.parquet(out).count() > len(first)
