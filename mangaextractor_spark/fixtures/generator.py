@@ -63,6 +63,12 @@ class CorpusSpec:
     p_speckle: float = 0.0  # per-lattice-site chance of a 1px dark speck inside bubbles
     border_art: bool = False  # large black blobs in page margins (robust must reject)
     p_jpeg: float = 0.0  # per-page chance of baseline-JPEG (q95) instead of PNG encoding
+    # Per-doc chance of a COVER page: a 2x-upscaled rendered page stored
+    # as media_ref "{doc_id}#capa", NOT referenced by any span — the
+    # analog of the reference's capa/ directories, which its extraction
+    # walk skips but its cover pipeline thumbnails and upserts
+    # (processor.py:287-292, db_util.py:377-451).
+    p_cover: float = 0.0
 
 
 def _doc_rng(spec: CorpusSpec, doc_idx: int) -> np.random.Generator:
@@ -327,6 +333,19 @@ def _generate_doc(spec: CorpusSpec, di: int) -> tuple[dict, list, list, list]:
             (b for b in bubbles if b["glyph_text"]), key=lambda b: b["reading_rank"]
         ):
             emitted.append((b["glyph_text"], media_ref))
+    if spec.p_cover > 0 and rng.random() < spec.p_cover:
+        cover_img, _ = _render_page(rng, spec)
+        cover_img = np.kron(cover_img, np.ones((2, 2), dtype=np.uint8))
+        cpng = encode_gray_png(cover_img)
+        media_rows.append(
+            {
+                "media_ref": f"{doc_id}#capa",
+                "image_bytes": cpng,
+                "width": cover_img.shape[1],
+                "height": cover_img.shape[0],
+                "page_md5": hashlib.md5(cpng).hexdigest(),
+            }
+        )
     for order, (text, media_ref) in enumerate(emitted):
         golden_rows.append(
             {

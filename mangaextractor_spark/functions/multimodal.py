@@ -52,9 +52,13 @@ def _parse_png_header(b: bytes) -> tuple[int, int, int] | None:
     return w, h, depth
 
 
-def media_metadata(media: DataFrame) -> DataFrame:
+def media_metadata(media: DataFrame, hex_hash: bool = False) -> DataFrame:
     """(media_ref, image_bytes) -> typed metadata rows. Header parsing is
-    a few bytes per row — stays in one mapInPandas scan, no shuffle."""
+    a few bytes per row — stays in one mapInPandas scan, no shuffle.
+
+    ``hex_hash=True`` hashes the UPPERCASE HEX of the bytes instead of
+    the raw bytes — the portable form the DuckDB oracle can reproduce
+    (its md5() does not accept BLOBs; md5(hex(blob)) is cross-engine)."""
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..sources.decode import jpeg_dimensions
@@ -69,7 +73,8 @@ def media_metadata(media: DataFrame) -> DataFrame:
                 else:
                     jh = jpeg_dimensions(b)
                     fmt, (w, h, d) = ("jpeg", jh) if jh else ("unknown", (0, 0, 0))
-                rows.append((ref, fmt, w, h, d, len(b), hashlib.md5(b).hexdigest()))
+                payload = b.hex().upper().encode() if hex_hash else b
+                rows.append((ref, fmt, w, h, d, len(b), hashlib.md5(payload).hexdigest()))
             yield pd.DataFrame(
                 rows,
                 columns=[

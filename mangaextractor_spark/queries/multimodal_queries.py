@@ -1,0 +1,127 @@
+"""Oracle-checked binary-media queries (S6 covers + media metadata).
+
+These were rows-only in round 1 because the oracle cannot see fixture
+DataFrames; now both engines read the SAME write-once fixture parquet
+(fixtures/shared.py) and the oracle parses image headers as BYTE
+SLICES over ``hex(image_bytes)`` — PNG IHDR at fixed offsets, JPEG SOF
+located via the first 'FFC0' marker. Covered-shape note (like the
+parse_* oracles): locating SOF by strpos assumes no 0xFF byte precedes
+the real SOF0 segment, which holds for every file our encoder emits
+(JFIF APP0 + q95 DQT contain none); the Spark side walks the segment
+chain properly (sources/decode.py:jpeg_dimensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures.shared import media_fixture_path
+from . import register
+
+_MEDIA_PARQUET = media_fixture_path()
+
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+
+# Shared CTE: hex view + format detection + header dims.
+_META_CTE = f"""
+WITH m AS (
+  SELECT media_ref, image_bytes, hex(image_bytes) AS hx
+  FROM read_parquet('{_MEDIA_PARQUET}')
+),
+t AS (
+  SELECT media_ref, image_bytes, hx,
+    CASE WHEN substring(hx, 1, 16) = '{_PNG_SIG_HEX}' THEN 'png'
+         WHEN substring(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+         ELSE 'unknown' END AS format,
+    strpos(hx, 'FFC0') AS sof
+  FROM m
+),
+meta AS (
+  SELECT media_ref, image_bytes, hx, format,
+    CAST(CASE format
+      WHEN 'png' THEN CAST(('0x' || substring(hx, 33, 8)) AS BIGINT)
+      WHEN 'jpeg' THEN CAST(('0x' || substring(hx, sof + 14, 4)) AS BIGINT)
+      ELSE 0 END AS INTEGER) AS width,
+    CAST(CASE format
+      WHEN 'png' THEN CAST(('0x' || substring(hx, 41, 8)) AS BIGINT)
+      WHEN 'jpeg' THEN CAST(('0x' || substring(hx, sof + 10, 4)) AS BIGINT)
+      ELSE 0 END AS INTEGER) AS height,
+    CAST(CASE format
+      WHEN 'png' THEN CAST(('0x' || substring(hx, 49, 2)) AS BIGINT)
+      WHEN 'jpeg' THEN CAST(('0x' || substring(hx, sof + 8, 2)) AS BIGINT)
+      ELSE 0 END AS INTEGER) AS bit_depth,
+    octet_length(image_bytes) AS n_bytes,
+    md5(hx) AS content_md5
+  FROM t
+)
+"""
+
+
+@register(
+    "media_metadata",
+    _META_CTE
+    + """
+    SELECT media_ref, format, width, height, bit_depth, n_bytes, content_md5
+    FROM meta ORDER BY media_ref
+    """,
+    doc="Typed metadata for every media row (mixed PNG/JPEG + covers), "
+    "HASH-CHECKED against a byte-slicing DuckDB oracle over the shared "
+    "fixture parquet: PNG IHDR ints at fixed hex offsets, JPEG SOF "
+    "located at the first FFC0 marker, content hash = md5 of the "
+    "uppercase hex (DuckDB's md5 takes no BLOBs). Spark side is the "
+    "single-scan mapInPandas header kernel used by the engine proper.",
+    tags=("multimodal",),
+)
+def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import media_metadata
+
+    media = spark.read.parquet(_MEDIA_PARQUET)
+    return media_metadata(media, hex_hash=True).orderBy("media_ref")
+
+
+@register(
+    "cover_metadata",
+    _META_CTE
+    + """
+    , cand AS (
+      SELECT *,
+        CASE WHEN media_ref LIKE '%#capa%' THEN split_part(media_ref, '#', 1)
+             ELSE regexp_replace(media_ref, '/capa[^/]*/.*$', '') END AS doc_id
+      FROM meta
+      WHERE regexp_matches(media_ref, '(^|[/#])capa([^/]*)(/|$)')
+    ),
+    first AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY media_ref) AS rn
+      FROM cand
+    ),
+    thumbed AS (
+      SELECT doc_id, media_ref,
+             regexp_replace(media_ref, '^.*/', '') AS file_name,
+             'jpg' AS extension,
+             width AS orig_w, height AS orig_h,
+             GREATEST(1, CAST(CEIL(GREATEST(width, height) / 616.0) AS INTEGER)) AS f
+      FROM first WHERE rn = 1
+    )
+    SELECT doc_id, media_ref, file_name, extension, orig_w, orig_h,
+           CAST(orig_w // f AS INTEGER) AS thumb_w,
+           CAST(orig_h // f AS INTEGER) AS thumb_h
+    FROM thumbed ORDER BY doc_id
+    """,
+    doc="S6 cover pipeline, metadata half, HASH-CHECKED: capa-marked "
+    "rows -> first file per doc (min media_ref) -> original dims from "
+    "the image header + the exact block-average thumbnail dimensions "
+    "(f = ceil(max_side/616), floor-div), mirroring "
+    "functions/covers.covers(). The thumbnail BYTES are asserted "
+    "equal to the downscale kernel's output in tests/test_covers.py "
+    "(bytes have no SQL twin).",
+    tags=("multimodal", "sink"),
+)
+def cover_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.covers import covers
+
+    media = spark.read.parquet(_MEDIA_PARQUET)
+    return covers(media).select(
+        "doc_id", "media_ref", "file_name", "extension",
+        "orig_w", "orig_h", "thumb_w", "thumb_h",
+    ).orderBy("doc_id")
