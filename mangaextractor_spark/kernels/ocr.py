@@ -32,6 +32,18 @@ class GlyphOcrEngine:
         return [decode_text_block(m) for m in ink_masks]
 
 
+def tesseract_lang(language: str, vertical_text: bool | None = None) -> str:
+    """P6 language -> tesseract config mapping, faithful to reference
+    modules/ocr.py:20-30: ja resolves by the verticalText tri-state
+    (None -> both models), en -> eng, pt -> por; anything else falls
+    through to tesseract's default (no -l)."""
+    if language == "ja":
+        if vertical_text is None:
+            return "jpn+jpn_vert"
+        return "jpn_vert" if vertical_text else "jpn"
+    return {"en": "eng", "pt": "por"}.get(language, "")
+
+
 class TesseractOcrEngine:
     def __init__(self, lang: str = "jpn+jpn_vert"):
         try:
