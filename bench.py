@@ -80,7 +80,8 @@ def _materialize_corpus(
 
     from mangaextractor_spark.fixtures.generator import CorpusSpec, generate_corpus
 
-    marker = Path(corpus_dir) / f".complete-{n_docs}-{page_w}x{page_h}"
+    # v2: connected-glyph font + ink-rect ordering (fixtures changed)
+    marker = Path(corpus_dir) / f".complete-v2-{n_docs}-{page_w}x{page_h}"
     if marker.exists():
         return
     corpus = generate_corpus(
@@ -108,10 +109,12 @@ def _load_corpus(spark, corpus_dir: str):
     return docs, media
 
 
-def extraction_probe(spark, corpus_dir: str, runs: int = 2) -> dict:
+def extraction_probe(spark, corpus_dir: str, runs: int = 2, robust: bool = False) -> dict:
     """Steady-state pages/sec: run the pipeline ``runs`` times, report
     the best (JVM/codegen/Python-worker warmup excluded — a production
-    job amortizes those over hours)."""
+    job amortizes those over hours). ``robust=True`` times the full
+    K4-K15 cleaning-ladder mode (the quality path for real scans);
+    the default times the whiteness-CC fast path."""
     from mangaextractor_spark.pipeline.extract import extract_spans
 
     docs, media = _load_corpus(spark, corpus_dir)
@@ -122,7 +125,7 @@ def extraction_probe(spark, corpus_dir: str, runs: int = 2) -> dict:
     times = []
     for _ in range(runs):
         t0 = time.monotonic()
-        _force(extract_spans(docs, media))
+        _force(extract_spans(docs, media, robust=robust))
         times.append(time.monotonic() - t0)
     dt = min(times)
     return {
@@ -170,6 +173,8 @@ def run_default(args) -> None:
     _materialize_corpus(corpus_dir, args.docs)
     probe = extraction_probe(spark, corpus_dir)
     timings["extract_pipeline"] = probe["sec"]
+    probe_r = extraction_probe(spark, corpus_dir, robust=True)
+    timings["extract_pipeline_robust"] = probe_r["sec"]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -182,6 +187,7 @@ def run_default(args) -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extract_pages_per_sec": probe["pages_per_sec"],
+                "extract_robust_pages_per_sec": probe_r["pages_per_sec"],
                 "extract_n_pages": probe["n_pages"],
                 "cores": args.cores,
             }

@@ -318,8 +318,9 @@ def sobel_edges(
 
 def _hull(points: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain on (n, 2) int (x, y) points -> CCW hull
-    vertices (k, 2). Handles collinear/degenerate inputs."""
-    pts = np.unique(points, axis=0)  # sorts lexicographically by (x, y)
+    vertices (k, 2). Handles collinear/duplicate/degenerate inputs
+    (the chain's <=0 pop discards both)."""
+    pts = points[np.lexsort((points[:, 1], points[:, 0]))]
     if len(pts) <= 2:
         return pts
 
@@ -373,18 +374,32 @@ def _fill_hull_rows(hull: np.ndarray, out: np.ndarray) -> None:
 def convex_hull_mask(mask: np.ndarray) -> np.ndarray:
     """K9 hull fill: per 8-connected component, fill the convex hull of
     its pixels (reference form_canny_mask: findContours -> convexHull ->
-    drawContours(filled), cleaning.py:57-68). Hull candidates are each
-    run's two endpoints — interior run pixels can never be hull
-    vertices — so the per-component work is O(runs + hull)."""
+    drawContours(filled), cleaning.py:57-68). Hull candidates reduce to
+    each component-row's leftmost start / rightmost end (interior run
+    pixels and interior runs can never be hull vertices), computed for
+    all components at once with one lexsort + reduceat."""
     stats = label_components(mask)
     out = np.zeros_like(mask)
+    if stats.n == 0:
+        return out
+    order = np.lexsort((stats.run_y, stats.run_ci))
+    ci_s = stats.run_ci[order]
+    y_s = stats.run_y[order]
+    change = np.empty(len(order), dtype=bool)
+    change[0] = True
+    change[1:] = (np.diff(ci_s) != 0) | (np.diff(y_s) != 0)
+    starts = np.flatnonzero(change)
+    gx1 = np.minimum.reduceat(stats.run_xs[order], starts)
+    gx2 = np.maximum.reduceat(stats.run_xe[order] - 1, starts)
+    gci = ci_s[starts]
+    gy = y_s[starts]
+    bounds = np.searchsorted(gci, np.arange(stats.n + 1))
     for ci in range(stats.n):
-        sel = stats.run_ci == ci
-        ys = stats.run_y[sel]
+        lo, hi = bounds[ci], bounds[ci + 1]
         pts = np.concatenate(
             [
-                np.stack([stats.run_xs[sel], ys], axis=1),
-                np.stack([stats.run_xe[sel] - 1, ys], axis=1),
+                np.stack([gx1[lo:hi], gy[lo:hi]], axis=1),
+                np.stack([gx2[lo:hi], gy[lo:hi]], axis=1),
             ]
         )
         _fill_hull_rows(_hull(pts), out)
