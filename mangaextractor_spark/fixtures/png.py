@@ -43,8 +43,30 @@ def encode_gray_png(img: np.ndarray) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def encode_rgb_png(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) -> color-type-2 PNG bytes (for color fixtures)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.empty((h, 3 * w + 1), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, 3 * w)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+# K3 grayscale weights — the BT.601 luminance cv2.cvtColor(BGR2GRAY)
+# uses (reference modules/cleaning.py:39-43).
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
 def decode_gray_png(data: bytes) -> np.ndarray:
-    """PNG bytes (8-bit grayscale) -> uint8 (h, w)."""
+    """PNG bytes -> uint8 (h, w) grayscale.
+
+    Accepts 8-bit grayscale (0), RGB (2), gray+alpha (4) and RGBA (6);
+    color inputs are converted with the same BT.601 luminance rounding
+    as the reference's cv2 grayscale() (K3); alpha is ignored (the
+    reference reads via cv2.imread which drops it)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -57,7 +79,7 @@ def decode_gray_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
-            if depth != 8 or ctype != 0:
+            if depth != 8 or ctype not in (0, 2, 4, 6):
                 raise ValueError(f"unsupported PNG (depth={depth}, color={ctype})")
         elif tag == b"IDAT":
             idat += body
@@ -65,26 +87,32 @@ def decode_gray_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8).reshape(h, w + 1)
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8).reshape(
+        h, nch * w + 1
+    )
     filters = raw[:, 0]
     out = raw[:, 1:].astype(np.uint8).copy()
     if (filters == 0).all():
-        return out
-    # General unfiltering (row-sequential; only needed for foreign files).
+        return _to_gray(out.reshape(h, w, nch), ctype)
+    # General unfiltering (row-sequential; only needed for foreign
+    # files). PNG filters predict per BYTE with lag = bytes-per-pixel.
+    bpp = nch
+    n = out.shape[1]
     for y in range(h):
         f = filters[y]
         if f == 0:
             continue
         row = out[y].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(w, dtype=np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(n, dtype=np.int32)
         if f == 2:  # up
             out[y] = ((row + prev) % 256).astype(np.uint8)
             continue
-        acc = np.zeros(w, dtype=np.int32)
-        for x in range(w):
-            a = acc[x - 1] if x else 0
+        acc = np.zeros(n, dtype=np.int32)
+        for x in range(n):
+            a = acc[x - bpp] if x >= bpp else 0
             b = prev[x]
-            c = prev[x - 1] if x else 0
+            c = prev[x - bpp] if x >= bpp else 0
             if f == 1:
                 pred = a
             elif f == 3:
@@ -95,4 +123,14 @@ def decode_gray_png(data: bytes) -> np.ndarray:
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
             acc[x] = (row[x] + pred) % 256
         out[y] = acc.astype(np.uint8)
-    return out
+    return _to_gray(out.reshape(h, w, nch), ctype)
+
+
+def _to_gray(px: np.ndarray, ctype: int) -> np.ndarray:
+    """(h, w, nch) -> (h, w) luminance (K3 grayscale)."""
+    if ctype == 0:
+        return px[:, :, 0].copy()
+    if ctype == 4:  # gray + alpha
+        return px[:, :, 0].copy()
+    rgb = px[:, :, :3].astype(np.float64)
+    return (rgb @ _LUMA).round().clip(0, 255).astype(np.uint8)

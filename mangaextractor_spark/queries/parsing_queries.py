@@ -175,6 +175,57 @@ def parse_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "restructure_plan",
+    f"""
+    WITH t AS (SELECT p_partkey, p_brand, {_FILE_SQL} AS fname FROM part),
+    l AS (SELECT p_partkey, p_brand, fname, LOWER(fname) AS nm FROM t),
+    parsed AS (
+      SELECT p_partkey, p_brand, fname,
+        NULLIF(REGEXP_REPLACE(REGEXP_EXTRACT(nm, '_(v[^_]*)_', 1), '[^0-9]', '', 'g'), '')
+          AS v,
+        NULLIF(REGEXP_REPLACE(REGEXP_EXTRACT(nm, '_(c[^_]*)_', 1), '[^0-9]', '', 'g'), '')
+          AS c
+      FROM l
+    )
+    SELECT p_partkey, fname,
+           CASE WHEN v IS NOT NULL AND c IS NOT NULL
+                THEN p_brand || ' - Volume ' || v || ' Capitulo ' || c
+                ELSE 'naoreconhecidos' END AS target_dir
+    FROM parsed ORDER BY p_partkey
+    """,
+    doc="S10 restructure tool, write side (reference core/processor.py:"
+    "100-165): each file's target folder is '{name} - Volume {v} "
+    "Capitulo {c}' from the P3 filename parse, with unparseable files "
+    "routed to 'naoreconhecidos' — as a declarative old-path -> "
+    "new-path PLAN. Executing it is a partitioned write by target_dir "
+    "(no driver-side file loop); pure codegen'd projection, no shuffle.",
+    tags=("parse", "tool"),
+)
+def restructure_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "fname",
+        F.concat(
+            F.col("p_brand"),
+            F.lit("_v"),
+            F.col("p_size").cast("string"),
+            F.lit("_c"),
+            (F.col("p_partkey") % 50).cast("string"),
+            F.lit("_page.png"),
+        ),
+    )
+    v = P.file_volume(F.col("fname"))
+    c = P.file_chapter(F.col("fname"))
+    target = F.when(
+        v.isNotNull() & c.isNotNull(),
+        F.concat(F.col("p_brand"), F.lit(" - Volume "), v, F.lit(" Capitulo "), c),
+    ).otherwise(F.lit("naoreconhecidos"))
+    return (
+        p.select("p_partkey", "fname", target.alias("target_dir"))
+        .orderBy("p_partkey")
+    )
+
+
+@register(
     "page_md5",
     """
     SELECT doc_id, md5(text) AS page_hash, n_chars

@@ -303,3 +303,37 @@ class TestCannyHull:
         img[10:20, 10:20] = 0
         gate = np.zeros((40, 40), dtype=bool)  # gate excludes everything
         assert not form_canny_mask(img, mask=gate).any()
+
+
+class TestColorPng:
+    """K3 grayscale: color PNGs decode through the BT.601 luminance
+    conversion the reference's cv2 grayscale() applies (cleaning.py:39)."""
+
+    def test_rgb_decodes_to_luma(self):
+        from mangaextractor_spark.fixtures.png import decode_gray_png, encode_rgb_png
+
+        rgb = np.zeros((10, 12, 3), dtype=np.uint8)
+        rgb[..., 0] = 200  # red
+        rgb[2:5, 3:7] = [10, 250, 30]
+        got = decode_gray_png(encode_rgb_png(rgb))
+        exp = (
+            (rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114]))
+            .round().clip(0, 255).astype(np.uint8)
+        )
+        assert (got == exp).all()
+
+    def test_gray_path_unchanged(self):
+        img = (np.arange(64 * 48).reshape(64, 48) % 251).astype(np.uint8)
+        assert (decode_gray_png(encode_gray_png(img)) == img).all()
+
+    def test_color_page_through_pipeline_kernel(self):
+        """A color-encoded rendered page still segments + decodes."""
+        from mangaextractor_spark.fixtures.png import encode_rgb_png
+        from mangaextractor_spark.sources.decode import decode_gray_image
+
+        corpus = generate_corpus(CorpusSpec(n_docs=2, seed=42))
+        m = corpus["media"].iloc[0]
+        gray = decode_gray_png(bytes(m["image_bytes"]))
+        rgb = np.stack([gray, gray, gray], axis=-1)
+        back = decode_gray_image(encode_rgb_png(rgb))
+        assert (back == gray).all()
