@@ -325,3 +325,96 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     return base.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_LSH_PAIRS_CTE = (
+    _MINHASH_CTE
+    + f"""
+    , sig AS (
+      SELECT doc_id, perm // {BAND_SIZE} AS band,
+             STRING_AGG(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS band_sig
+      FROM mh GROUP BY doc_id, perm // {BAND_SIZE}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+"""
+)
+
+
+@register(
+    "dedup_clusters",
+    "WITH RECURSIVE "
+    + _LSH_PAIRS_CTE.strip().removeprefix("WITH ")
+    + """
+    , edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst
+    ),
+    lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_keeper
+    FROM lab ORDER BY doc_id
+    """,
+    doc="Near-duplicate CLUSTERS: connected components over the "
+    "MinHash-LSH candidate graph, cluster id = lexicographic min doc_id "
+    "(the keeper), plus cluster size — the step that turns pairwise "
+    "dedup into per-cluster keep/drop decisions. Spark side is "
+    "iterative min-label propagation over the (tiny relative to the "
+    "corpus) edge set with localCheckpoint between rounds, converging "
+    "in O(component diameter) rounds — near-dup clusters are shallow by "
+    "construction, and the 100 TB upgrade path (alternating "
+    "large-star/small-star, O(log n) rounds) keeps the same dataflow "
+    "shape. Oracle: recursive-CTE transitive closure + MIN. At corpus "
+    "scale the iteration input is the candidate-pair table, orders of "
+    "magnitude smaller than the corpus itself.",
+    tags=("dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
+        .unionByName(pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    ).localCheckpoint()
+    while True:
+        neigh = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        merged = (
+            labels.join(neigh, "doc_id", "left")
+            .select("doc_id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl2"))
+        ).localCheckpoint()
+        # convergence: any label strictly decreased this round?
+        n_changed = (
+            merged.join(labels, "doc_id")
+            .filter(F.col("lbl2") < F.col("lbl"))
+            .count()
+        )
+        labels = merged.select("doc_id", F.col("lbl2").alias("lbl"))
+        if n_changed == 0:
+            break
+    w = W.partitionBy("lbl")
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
+    ).orderBy("doc_id")
