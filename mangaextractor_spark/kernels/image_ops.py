@@ -586,6 +586,18 @@ def segment_text_regions(
     return boxes, cleaned
 
 
+def text_only_image(img: np.ndarray) -> np.ndarray:
+    """K2 textOnly composition (reference segmentPage,
+    modules/segmentation.py:55-57: bitwise_and(ori, mask) with the
+    background forced white): original pixel values wherever the
+    cleaning ladder kept text ink, 255 elsewhere — the debug/export
+    artifact the reference writes per page."""
+    cleaned, _ = clean_page_mask(img)
+    out = np.full_like(img, 255)
+    out[cleaned] = img[cleaned]
+    return out
+
+
 @dataclass
 class PageRegion:
     x1: int

@@ -337,3 +337,28 @@ class TestColorPng:
         rgb = np.stack([gray, gray, gray], axis=-1)
         back = decode_gray_image(encode_rgb_png(rgb))
         assert (back == gray).all()
+
+
+class TestTextOnly:
+    def test_text_only_image_keeps_ink_whitens_rest(self):
+        """K2: original pixels under kept text ink, white elsewhere;
+        the composite alone still decodes the page's text."""
+        from mangaextractor_spark.kernels.image_ops import (
+            extract_page_regions,
+            text_only_image,
+        )
+
+        corpus = generate_corpus(CorpusSpec(n_docs=2, seed=42))
+        m = corpus["media"].iloc[0]
+        img = decode_gray_png(bytes(m["image_bytes"]))
+        out = text_only_image(img)
+        kept = out != 255
+        assert kept.any()
+        assert (out[kept] == img[kept]).all()  # original values preserved
+        # the composite is itself a clean page: robust extraction over it
+        # yields the same text sequence as over the original
+        a = [decode_text_block(r.ink) for r in
+             sorted(extract_page_regions(img, robust=True), key=lambda r: r.reading_rank)]
+        b = [decode_text_block(r.ink) for r in
+             sorted(extract_page_regions(out, robust=True), key=lambda r: r.reading_rank)]
+        assert a == b and any(a)
