@@ -171,7 +171,10 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    dim = e.select(F.size("emb")).first()[0]
+    # DIM is a module constant (the oracle SQL hardcodes the same
+    # hyperplanes); deriving it with .first() here used to launch an
+    # extra Spark job at plan-build time for a value already known.
+    dim = DIM
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
 
     def bucket(table: int) -> F.Column:
