@@ -77,7 +77,9 @@ def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import media_metadata
 
     media = spark.read.parquet(_MEDIA_PARQUET)
-    return media_metadata(media, hex_hash=True).orderBy("media_ref")
+    # no cosmetic orderBy: range-sampling would re-execute the header
+    # kernel, and the driver compare is order-insensitive
+    return media_metadata(media, hex_hash=True)
 
 
 @register(
@@ -124,4 +126,4 @@ def cover_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covers(media).select(
         "doc_id", "media_ref", "file_name", "extension",
         "orig_w", "orig_h", "thumb_w", "thumb_h",
-    ).orderBy("doc_id")
+    )
