@@ -83,4 +83,6 @@ def extract_manga_spans_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = docs_to_spark(spark, corpus["documents"])
     media = media_to_spark(spark, corpus["media"])
-    return extract_spans(docs, media, engine="glyph_vertical", furigana=True)
+    return extract_spans(
+        docs, media, engine="glyph_vertical", furigana=True, robust=True
+    )

@@ -242,3 +242,23 @@ def test_whiteness_path_demonstrably_fails_on_noisy(spark, noisy_corpus):
     n_golden_bubble_spans = int((golden["media_ref"] != "").sum())
     n_got_bubble_spans = result.filter(F.col("media_ref") != "").count()
     assert n_got_bubble_spans < n_golden_bubble_spans / 2
+
+
+def test_robust_vertical_furigana_composition(spark):
+    """The full stack at once: cleaning ladder (robust) + tategaki
+    vertical decode + furigana ruby stripping — golden span equality."""
+    from mangaextractor_spark.fixtures.spark_io import golden_to_spark
+
+    vert = generate_corpus(
+        CorpusSpec(n_docs=12, seed=44, vertical_text=True, p_furigana=0.6)
+    )
+    docs = docs_to_spark(spark, vert["documents"])
+    media = media_to_spark(spark, vert["media"])
+    result = extract_spans(
+        docs, media, engine="glyph_vertical", furigana=True, robust=True
+    )
+    golden = golden_to_spark(spark, vert["golden_spans"])
+    key = ["doc_id", "kind", "text", "media_ref", "order"]
+    assert result.count() == golden.count() > 0
+    assert result.select(key).exceptAll(golden.select(key)).count() == 0
+    assert golden.select(key).exceptAll(result.select(key)).count() == 0
