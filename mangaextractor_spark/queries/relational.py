@@ -657,3 +657,74 @@ def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
         out = cnt if out is None else out.unionByName(cnt)
     return out.orderBy("op")
+
+
+@register(
+    "asof_latest_order",
+    """
+    WITH j AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts,
+           o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+    FROM j WHERE rn = 1 ORDER BY event_id
+    """,
+    doc="AS-OF JOIN: for every event, the customer's most recent order "
+    "at or before the event time (tie-break max orderkey); events with "
+    "no prior order keep NULLs. Spark has no asof operator, so this is "
+    "the scalable composition: UNION both tables into one (key, time) "
+    "stream, ONE shuffle+sort per key, and a running last_value("
+    "ignorenulls) window carries the latest order forward onto each "
+    "event row — O(n log n) per key partition, no row-level "
+    "inequality join. (The oracle states the same semantics as a "
+    "LEFT JOIN + per-event window, which would be quadratic per hot "
+    "key at scale — the union-merge IS the scale rewrite.)",
+    tags=("join", "window"),
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    orders_side = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        "o_orderkey",
+        "o_orderdate",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    events_side = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        "event_id",
+        "ts",
+    )
+    merged = orders_side.unionByName(events_side)
+    # Orders sort before events at the same instant (<= semantics), and
+    # among same-time orders the max orderkey comes last, so last_value
+    # picks it — the deterministic tie-break the oracle mirrors.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t"), F.desc("is_order"), F.col("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.select(
+        "event_id", "user_id", "ts", "is_order",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("last_orderdate"),
+    )
+    return carried.filter(F.col("is_order") == 0).select(
+        "event_id", "user_id", "ts", "last_orderkey", "last_orderdate"
+    )

@@ -221,3 +221,60 @@ def doc_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .orderBy("doc_id", "token")
     )
+
+
+@register(
+    "corpus_funnel",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, len({_WS}) AS n_tokens, md5(text) AS h
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, lang, n_tokens, h,
+             n_tokens >= 10 AS passes_quality,
+             doc_id = MIN(doc_id) OVER (PARTITION BY h) AS is_keeper
+      FROM base
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN passes_quality AND is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_unique
+    FROM flagged GROUP BY lang ORDER BY lang
+    """,
+    doc="The training-data FUNNEL in one pass: per language, total docs "
+    "-> docs passing a token-count quality gate -> quality docs that "
+    "are also exact-dedup keepers (min doc_id per content hash). "
+    "Spark plan: one scan, one hash-partition window for keeper "
+    "election, map-side-combined final rollup — the shape of a corpus "
+    "curation pass at 100 TB (the stage every extra filter composes "
+    "into for free).",
+    tags=("text", "dedup", "pipeline"),
+)
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    h = F.md5(F.col("text").cast("binary"))
+    base = d.select(
+        "doc_id", "lang",
+        F.size(words_col(F.col("text"))).alias("n_tokens"),
+        h.alias("h"),
+    )
+    flagged = base.select(
+        "lang",
+        (F.col("n_tokens") >= 10).alias("passes_quality"),
+        (F.col("doc_id") == F.min("doc_id").over(W.partitionBy("h"))).alias("is_keeper"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("passes_quality"), 1).otherwise(0)).alias("n_quality"),
+            F.sum(
+                F.when(F.col("passes_quality") & F.col("is_keeper"), 1).otherwise(0)
+            ).alias("n_quality_unique"),
+        )
+        .orderBy("lang")
+    )
