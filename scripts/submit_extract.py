@@ -14,7 +14,7 @@ Cluster launch (north_rule: multi-executor, --py-files):
       --docs  catalog.db.documents \
       --media catalog.db.media \
       --out   /warehouse/spans_out \
-      --chunks 4096 --furigana false
+      --chunks 4096 --furigana false --robust true
 
 The same script runs locally against parquet paths:
 
@@ -49,6 +49,11 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=64)
     ap.add_argument("--engine", default="glyph")
     ap.add_argument("--furigana", default="false")
+    ap.add_argument(
+        "--robust",
+        default="true",
+        help="full K4-K15 cleaning ladder (default) vs whiteness-CC fast path",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,6 +73,7 @@ def main() -> None:
         n_chunks=args.chunks,
         engine=args.engine,
         furigana=args.furigana.lower() in ("1", "true", "yes"),
+        robust=args.robust.lower() in ("1", "true", "yes"),
     )
     n = result.count()
     print(f"extracted {n} spans -> {args.out}/spans")
