@@ -202,8 +202,9 @@ def run_extract_only(args) -> None:
     if not list(Path(corpus_dir).glob(".complete-*")):  # any materialized corpus is fine
         _materialize_corpus(corpus_dir, args.docs)
     spark = _spark(args.cores)
-    out = extraction_probe(spark, corpus_dir)
+    out = extraction_probe(spark, corpus_dir, robust=args.robust)
     out["cores"] = args.cores
+    out["robust"] = args.robust
     print(json.dumps(out))
 
 
@@ -212,8 +213,18 @@ def run_scaling(args) -> None:
     # fixture pages): per-page kernel compute then dominates the fixed
     # JVM/Arrow costs, so the measured ratio reflects how the KERNEL
     # scales with cores, which is what the N->4N criterion is about.
-    corpus_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale_corpus")
-    _materialize_corpus(corpus_dir, args.docs, page_w=840, page_h=1200)
+    # --robust times the cleaning-ladder mode instead; it uses the
+    # 420x600 corpus so the (much heavier) ladder still finishes in
+    # bench-sized wall time — the Spark plan is identical either way,
+    # only the per-page kernel constant changes.
+    if args.robust:
+        corpus_dir = os.environ.get(
+            "SPARK_GRAFT_SCALE_DIR_SMALL", "/tmp/spark_graft_scale_corpus_420"
+        )
+        _materialize_corpus(corpus_dir, args.docs, page_w=420, page_h=600)
+    else:
+        corpus_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale_corpus")
+        _materialize_corpus(corpus_dir, args.docs, page_w=840, page_h=1200)
     results = {}
     for cores in (args.n, args.n * 4):
         proc = subprocess.run(
@@ -227,7 +238,8 @@ def run_scaling(args) -> None:
                 str(args.docs),
                 "--corpus",
                 corpus_dir,
-            ],
+            ]
+            + (["--robust"] if args.robust else []),
             capture_output=True,
             text=True,
             check=True,
@@ -246,6 +258,7 @@ def run_scaling(args) -> None:
                 "pages_per_sec_n": lo["pages_per_sec"],
                 "pages_per_sec_4n": hi["pages_per_sec"],
                 "n_pages": hi["n_pages"],
+                "robust": args.robust,
             }
         )
     )
@@ -265,6 +278,7 @@ def main() -> None:
     # both levels un-oversubscribed, i.e. the same per-core conditions a
     # N- vs 4N-executor comparison would have.
     ap.add_argument("--n", type=int, default=4, help="scaling mode: small core count N")
+    ap.add_argument("--robust", action="store_true", help="time the cleaning-ladder mode")
     args = ap.parse_args()
 
     if args.scaling:
