@@ -75,6 +75,17 @@ def _conv1d(a: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
     pad = [(0, 0), (0, 0)]
     pad[axis] = (r, r)
     ap = np.pad(a, pad, mode="edge")
+    n = a.shape[axis]
+    if len(k) <= 9:
+        # explicit shifted accumulation: no (h, w, k) window
+        # materialization — adaptive sigmas give tiny kernels, and the
+        # full window view tripled the ladder's memory traffic
+        out = np.zeros_like(a)
+        sl = [slice(None), slice(None)]
+        for i, w in enumerate(k.tolist()):
+            sl[axis] = slice(i, i + n)
+            out += w * ap[tuple(sl)]
+        return out
     win = np.lib.stride_tricks.sliding_window_view(ap, len(k), axis=axis)
     return win @ k
 
@@ -324,7 +335,11 @@ def sobel_edges(
     # strong pixels per weak component, via per-run interval sums over a
     # row-wise prefix count of strong pixels (no per-pixel python)
     cs = np.concatenate(
-        [np.zeros((strong.shape[0], 1), dtype=np.int64), np.cumsum(strong, axis=1)], axis=1
+        [
+            np.zeros((strong.shape[0], 1), dtype=np.int32),
+            np.cumsum(strong, axis=1, dtype=np.int32),
+        ],
+        axis=1,
     )
     run_strong = cs[stats.run_y, stats.run_xe] - cs[stats.run_y, stats.run_xs]
     keep = np.bincount(stats.run_ci, weights=run_strong, minlength=stats.n) > 0
