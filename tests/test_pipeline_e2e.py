@@ -262,3 +262,19 @@ def test_robust_vertical_furigana_composition(spark):
     assert result.count() == golden.count() > 0
     assert result.select(key).exceptAll(golden.select(key)).count() == 0
     assert golden.select(key).exceptAll(result.select(key)).count() == 0
+
+
+def test_extract_plan_shuffle_discipline(spark, corpus):
+    """Plan-level proof of the pipeline's scale story: with a
+    page-granular media scan, image bytes NEVER cross a shuffle — the
+    only hash exchange is the final doc-keyed span window, and the
+    span-metadata join side is broadcast."""
+    docs = docs_to_spark(spark, corpus["documents"])
+    media = media_to_spark(spark, corpus["media"]).repartition(8)  # well-split
+    df = extract_spans(docs, media)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert plan.count("Exchange hashpartitioning") == 1  # the span window only
+    assert plan.count("BroadcastExchange") >= 1  # metadata side of the media join
+    assert not any("image_bytes" in l for l in exchange_lines)
