@@ -1,0 +1,84 @@
+"""HTML main-content extraction operators (north_rule parenthetical:
+'HTML boilerplate strip ... DOM heuristics') as pure Column
+expressions — tag stripping, boilerplate-region removal, entity
+unescape, title extraction. Regexes stay in the Java-regex ∩ RE2
+common subset so every operator has a DuckDB oracle twin.
+
+Scope (documented): non-nested block semantics — <script>/<style>/
+<nav>/<header>/<footer>/<aside> regions are dropped wholesale,
+remaining tags stripped, the five predefined XML entities + numeric
+decimal entities unescaped. This is the deterministic, SQL-expressible
+80% of boilerplate removal; density-based DOM heuristics over real
+pages belong in an Arrow kernel stage like the image ladder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (?is): case-insensitive + dotall — both supported by Java regex and
+# RE2. RE2 has no backreferences, so the boilerplate blocks expand to
+# one pattern per tag instead of <(a|b)>.*?</\1>.
+# head (incl. its title/style/meta) is metadata, not content; \b keeps
+# <head> from swallowing <header>, which is dropped by its own pattern.
+BOILER_TAGS = ("head", "script", "style", "nav", "header", "footer", "aside", "title")
+_TAG_RE = r"(?s)<[^>]*>"
+_WS_RE = r"\s+"
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title\s*>"
+
+
+def boiler_re(tag: str) -> str:
+    return rf"(?is)<{tag}\b.*?</{tag}\s*>"
+
+
+def drop_boilerplate_regions(html: Column) -> Column:
+    """Remove script/style/nav/header/footer/aside regions wholesale."""
+    out = html
+    for tag in BOILER_TAGS:
+        out = F.regexp_replace(out, boiler_re(tag), " ")
+    return out
+
+
+def strip_tags(text: Column) -> Column:
+    return F.regexp_replace(text, _TAG_RE, " ")
+
+
+def unescape_entities(text: Column) -> Column:
+    """The five predefined entities; &amp; LAST so '&amp;lt;' yields
+    '&lt;' (the standard single-pass order)."""
+    out = text
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def collapse_ws(text: Column) -> Column:
+    return F.trim(F.regexp_replace(text, _WS_RE, " "))
+
+
+def html_title(html: Column) -> Column:
+    return collapse_ws(unescape_entities(F.regexp_extract(html, _TITLE_RE, 1)))
+
+
+def html_main_text(html: Column) -> Column:
+    """Boilerplate regions out -> tags out -> entities -> whitespace."""
+    return collapse_ws(unescape_entities(strip_tags(drop_boilerplate_regions(html))))
+
+
+def html_main_sql(col: str) -> str:
+    """DuckDB expression mirroring html_main_text step by step."""
+    expr = col
+    for tag in BOILER_TAGS:
+        expr = f"REGEXP_REPLACE({expr}, '{boiler_re(tag)}', ' ', 'g')"
+    expr = f"REGEXP_REPLACE({expr}, '{_TAG_RE}', ' ', 'g')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")):
+        expr = f"REPLACE({expr}, '{ent}', '{ch}')"
+    return f"TRIM(REGEXP_REPLACE({expr}, '\\s+', ' ', 'g'))"
+
+
+def html_title_sql(col: str) -> str:
+    expr = f"REGEXP_EXTRACT({col}, '{_TITLE_RE}', 1)"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")):
+        expr = f"REPLACE({expr}, '{ent}', '{ch}')"
+    return f"TRIM(REGEXP_REPLACE({expr}, '\\s+', ' ', 'g'))"

@@ -46,6 +46,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         dedup,
         extraction_queries,
+        html_queries,
         multimodal_queries,
         parsing_queries,
         relational,

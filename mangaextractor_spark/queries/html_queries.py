@@ -1,0 +1,75 @@
+"""HTML boilerplate-strip query (north_rule: 'HTML boilerplate strip
+... DOM heuristics' as data-plane operators).
+
+Synthetic HTML pages are built deterministically from the `documents`
+table IN BOTH ENGINES (the same construction trick as the parsing
+queries' paths): entity-escaped body text wrapped in an article,
+plus title/head/style/nav/footer boilerplate that must NOT survive.
+The operator chain (drop boilerplate regions -> strip tags ->
+unescape entities -> collapse whitespace, functions/html.py) is pure
+codegen'd Column expressions — a 100 TB pass is one scan, no shuffle,
+no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.html import html_main_sql, html_main_text, html_title, html_title_sql
+from ..session import load_table, spread
+from . import register
+
+_ESC_SQL = (
+    "REPLACE(REPLACE(REPLACE(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+)
+_HTML_SQL = (
+    "'<html><head><title> Doc &quot;' || CAST(doc_id AS VARCHAR) || '&quot; </title>"
+    "<style>p { color: red }</style></head><body>"
+    "<NAV class=\"menu\">HOME | ABOUT | NAVJUNK</NAV>"
+    "<article><p>' || " + _ESC_SQL + " || '</p></article>"
+    "<footer>FOOTERJUNK &copy; 2026</footer></body></html>'"
+)
+
+
+def _html_col() -> F.Column:
+    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    return F.concat(
+        F.lit('<html><head><title> Doc &quot;'),
+        F.col("doc_id").cast("string"),
+        F.lit('&quot; </title><style>p { color: red }</style></head><body>'),
+        F.lit('<NAV class="menu">HOME | ABOUT | NAVJUNK</NAV>'),
+        F.lit("<article><p>"),
+        esc,
+        F.lit("</p></article><footer>FOOTERJUNK &copy; 2026</footer></body></html>"),
+    )
+
+
+@register(
+    "html_main_content",
+    f"""
+    WITH pages AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents)
+    SELECT doc_id,
+           {html_title_sql("html")} AS title,
+           {html_main_sql("html")} AS main_text
+    FROM pages ORDER BY doc_id
+    """,
+    doc="HTML main-content extraction: case-insensitive wholesale "
+    "removal of script/style/nav/header/footer/aside regions, tag "
+    "strip, predefined-entity unescape (&amp; last), whitespace "
+    "collapse, plus <title> extraction — all RE2-compatible codegen'd "
+    "expressions mirrored verbatim in the oracle. The synthetic pages "
+    "plant boilerplate text (NAVJUNK/FOOTERJUNK/CSS) that must vanish "
+    "and entity-escaped body text that must round-trip exactly.",
+    tags=("text", "extract"),
+)
+def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pages = d.select("doc_id", _html_col().alias("html"))
+    return pages.select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        html_main_text(F.col("html")).alias("main_text"),
+    ).orderBy("doc_id")
