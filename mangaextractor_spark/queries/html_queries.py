@@ -73,3 +73,69 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_title(F.col("html")).alias("title"),
         html_main_text(F.col("html")).alias("main_text"),
     ).orderBy("doc_id")
+
+
+# --- PDF text extraction (north_rule: 'PDF/layout parse') -----------------
+
+# In DuckDB's BLOB -> VARCHAR cast, a literal backslash byte renders as
+# the four characters '\x5C', so the PDF string-escape prefix becomes
+# that sequence. The content grammar below admits escaped parens /
+# escaped backslash / any non-paren char; unescape replaces the
+# rendered forms. (Covered-shape note: fixture text is printable ASCII,
+# so no other bytes render escaped inside the show strings.)
+_PDF_CONTENT = r"(?:\\x5C\(|\\x5C\)|\\x5C\\x5C|[^()])*"
+_PDF_SHOW_RE = r"\((" + _PDF_CONTENT + r")\) Tj"
+
+
+def _pdf_oracle(path: str) -> str:
+    unesc = "array_to_string(regexp_extract_all(s, '{re}', 1), ' ')".format(re=_PDF_SHOW_RE)
+    unesc = f"REPLACE({unesc}, '\\x5C(', '(')"
+    unesc = f"REPLACE({unesc}, '\\x5C)', ')')"
+    unesc = f"REPLACE({unesc}, '\\x5C\\x5C', '\\')"
+    return f"""
+    WITH p AS (
+      SELECT doc_id, CAST(pdf_bytes AS VARCHAR) AS s
+      FROM read_parquet('{path}')
+    )
+    SELECT doc_id, {unesc} AS text,
+           CAST(regexp_extract(s, '/Count ([0-9]+)', 1) AS INTEGER) AS n_pages
+    FROM p ORDER BY doc_id
+    """
+
+
+from ..fixtures.shared import pdf_fixture_path  # noqa: E402
+
+_PDF_PARQUET = pdf_fixture_path()
+
+
+@register(
+    "pdf_extract_text",
+    _pdf_oracle(_PDF_PARQUET),
+    doc="PDF text extraction over minimal uncompressed PDFs (fixture-"
+    "generated, shared parquet): the Spark side walks content streams "
+    "and show operators with real escape handling in one mapInPandas "
+    "scan (fixtures/pdf.py:extract_pdf_text; FlateDecode explicitly "
+    "gated); the oracle recovers the same '(...) Tj' strings by regexp "
+    "over the byte stream, handling DuckDB's \\x5C rendering of the "
+    "escape character. Page count from the /Count entry on both sides.",
+    tags=("extract", "multimodal"),
+)
+def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def kern(batches):
+        from ..fixtures.pdf import extract_pdf_text, pdf_page_count
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": [extract_pdf_text(bytes(b)) for b in pdf["pdf_bytes"]],
+                    "n_pages": [pdf_page_count(bytes(b)) for b in pdf["pdf_bytes"]],
+                }
+            )
+
+    return (
+        spark.read.parquet(_PDF_PARQUET)
+        .mapInPandas(kern, "doc_id string, text string, n_pages int")
+    )

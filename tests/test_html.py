@@ -47,3 +47,33 @@ def test_html_operators(spark):
     got = {r.html: (r.t, r.m) for r in rows}
     for html, t, m in CASES:
         assert got[html] == (t, m), html
+
+
+class TestPdf:
+    def test_roundtrip_with_escapes(self):
+        from mangaextractor_spark.fixtures.pdf import build_simple_pdf, extract_pdf_text
+
+        lines = ["plain line", "(paren) start", "back\\slash", "a)b(c"]
+        assert extract_pdf_text(build_simple_pdf(lines)) == " ".join(lines)
+
+    def test_page_count_and_gating(self):
+        from mangaextractor_spark.fixtures.pdf import (
+            UnsupportedPdfError,
+            build_simple_pdf,
+            extract_pdf_text,
+            pdf_page_count,
+        )
+        import pytest as _pytest
+
+        b = build_simple_pdf(["x"])
+        assert pdf_page_count(b) == 1
+        with _pytest.raises(UnsupportedPdfError):
+            extract_pdf_text(b"not a pdf")
+        flate = b.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
+        with _pytest.raises(UnsupportedPdfError):
+            extract_pdf_text(flate)
+
+    def test_empty_document(self):
+        from mangaextractor_spark.fixtures.pdf import build_simple_pdf, extract_pdf_text
+
+        assert extract_pdf_text(build_simple_pdf([])) == ""
