@@ -80,3 +80,26 @@ def test_file_mode_pipeline_matches_golden_pages(spark, file_tree, corpus):
     for orig_ref, grp in g[g.glyph_text != ""].groupby("media_ref"):
         expected = list(grp.sort_values("reading_rank")["glyph_text"])
         assert got.get(ref_map[orig_ref], []) == expected, orig_ref
+
+
+def test_file_mode_ingests_and_decodes_jpeg_files(spark, tmp_path, corpus):
+    """The source's *.{png,jpg,jpeg} glob is honest end-to-end: pages
+    stored as .jpg files ingest AND extract golden text."""
+    from mangaextractor_spark.fixtures.jpeg import encode_gray_jpeg
+    from mangaextractor_spark.fixtures.png import decode_gray_png
+
+    root = tmp_path / "jpgtree"
+    d = root / "[TestScan] JDoc - Volume 1 Capitulo 2"
+    d.mkdir(parents=True)
+    g = corpus["golden_regions"]
+    some_ref = corpus["media"].iloc[0]["media_ref"]
+    img = decode_gray_png(bytes(corpus["media"].iloc[0]["image_bytes"]))
+    (d / "page_0000.jpg").write_bytes(encode_gray_jpeg(img, quality=95))
+
+    docs, media = ingest_directory(spark, str(root))
+    assert media.count() == 1
+    spans = extract_spans(docs, media, robust=True)
+    got = [r.text for r in spans.orderBy("order").collect()]
+    gg = g[g.media_ref == some_ref]
+    exp = [r["glyph_text"] for _, r in gg.sort_values("reading_rank").iterrows() if r["glyph_text"]]
+    assert got == exp
