@@ -330,7 +330,11 @@ def decode_gray_jpeg(b: bytes) -> np.ndarray:
         rd = _BitReader(seg_bytes.replace(b"\xff\x00", b"\xff"))
         prev_dc = 0
         limit = min(n_blocks, blk + restart_interval) if restart_interval else n_blocks
-        while blk < limit and rd.pos + 16 <= rd.nbits + 8:
+        # The final block's codes may end inside the byte-align flush
+        # padding, so don't require 16 whole bits to remain — the
+        # reader's zero-padded window makes trailing peeks safe, and
+        # the block count (not the bit count) is the real terminator.
+        while blk < limit and rd.pos <= rd.nbits + 8:
             p = rd.peek16()
             size = int(dsym[p])
             rd.pos += int(dlen[p])

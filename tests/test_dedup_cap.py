@@ -52,3 +52,47 @@ def test_viral_shingle_capped_identically(spark, skew_dir):
     want = sorted(zip(odf["a_id"], odf["b_id"], odf["jaccard"]))
     assert got == want
     assert got == [("pair_a", "pair_b", 0.5)]
+
+
+def test_dedup_clusters_transitive_chain(spark, tmp_path_factory):
+    """A ~ B and B ~ C without A ~ C directly: connected components must
+    still place all three in ONE cluster keyed by the min doc_id —
+    identically on Spark (iterative propagation) and DuckDB (recursive
+    closure)."""
+    import duckdb
+
+    from mangaextractor_spark.queries import REGISTRY
+
+    d = tmp_path_factory.mktemp("chain")
+    # Deterministic chain under the fixed minhash bands: B is the base
+    # text; A differs only in the FIRST word, C only in the LAST. The
+    # banding yields exactly {(a,b), (b,c)} — verified candidates — so
+    # a ~ c holds ONLY through transitivity.
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        {"doc_id": "a", "text": "start0 " + base.split(" ", 1)[1]},
+        {"doc_id": "b", "text": base},
+        {"doc_id": "c", "text": base.rsplit(" ", 1)[0] + " end0"},
+        {"doc_id": "z", "text": "totally different content here now friend"},
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    pairs = sorted(
+        (r.a_id, r.b_id)
+        for r in REGISTRY["minhash_lsh_pairs"].spark(spark, str(d)).collect()
+    )
+    assert pairs == [("a", "b"), ("b", "c")]  # the chain, no direct a~c
+    qd = REGISTRY["dedup_clusters"]
+    sdf = qd.spark(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    odf = con.execute(qd.oracle).df()
+    con.close()
+    got = sorted(zip(sdf.doc_id, sdf.cluster_id, sdf.cluster_size, sdf.is_keeper))
+    want = sorted(zip(odf.doc_id, odf.cluster_id, odf.cluster_size, odf.is_keeper))
+    assert got == want
+    assert got == [("a", "a", 3, True), ("b", "a", 3, False), ("c", "a", 3, False)]

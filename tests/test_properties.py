@@ -134,3 +134,39 @@ def test_reading_order_is_permutation_and_input_order_invariant(rs, rnd):
         by_rect2.setdefault(r, []).append(k)
     for r in by_rect:
         assert sorted(by_rect[r]) == sorted(by_rect2[r])
+
+
+@settings(max_examples=30, deadline=None)
+@given(arrays(np.uint8, st.tuples(st.integers(8, 40), st.integers(8, 40))))
+def test_jpeg_roundtrip_bounded(img):
+    """Any 8-bit image survives a q90 JPEG roundtrip within a bounded
+    error and exact shape."""
+    from mangaextractor_spark.fixtures.jpeg import decode_gray_jpeg, encode_gray_jpeg
+
+    out = decode_gray_jpeg(encode_gray_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 64  # worst-case blocky noise
+
+
+@settings(max_examples=30, deadline=None)
+@given(arrays(np.uint8, st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(3))))
+def test_color_png_luma_roundtrip(rgb):
+    """Color PNG decode == BT.601 luminance of the pixels, exactly."""
+    from mangaextractor_spark.fixtures.png import encode_rgb_png
+
+    got = decode_gray_png(encode_rgb_png(rgb))
+    exp = (
+        (rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114]))
+        .round().clip(0, 255).astype(np.uint8)
+    )
+    assert (got == exp).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="ABC XYZ()\\", min_size=0, max_size=30), max_size=5))
+def test_pdf_text_roundtrip(lines):
+    """PDF writer/extractor round-trip any printable lines incl. the
+    escape characters."""
+    from mangaextractor_spark.fixtures.pdf import build_simple_pdf, extract_pdf_text
+
+    assert extract_pdf_text(build_simple_pdf(lines)) == " ".join(lines)
