@@ -126,3 +126,18 @@ def test_resume_never_rescans_media(spark, tmp_path):
         for r in clean.itertuples()
     )
     assert got == exp
+
+
+def test_chunked_run_robust_mode(spark, tmp_path):
+    """run_extraction(robust=True) drives the cleaning ladder through
+    the chunked/lineage path and still matches the generation golden."""
+    corpus = generate_corpus(CorpusSpec(n_docs=6, seed=23))
+    docs = docs_to_spark(spark, corpus["documents"])
+    media = media_to_spark(spark, corpus["media"])
+    out = run_extraction(spark, docs, media, str(tmp_path / "r"), n_chunks=2, robust=True)
+    got = _collect_sorted(out)
+    exp = sorted(
+        (r.doc_id, "text", r.text, r.media_ref, r.order)
+        for r in corpus["golden_spans"].itertuples()
+    )
+    assert got == exp
