@@ -4,12 +4,14 @@ reference's directory scan accepts ``.png/.jpg/.jpeg``
 (reference core/processor.py:267, modules/detection.py:41), so the
 engine needs a real JPEG path for its binaryFile source to be honest.
 
-Scope (documented, gated): baseline DCT (SOF0), single grayscale
-component, standard Annex-K luminance quantization + Huffman tables on
-encode; the decoder additionally handles restart markers and any
-baseline single-component stream. Progressive (SOF2) and color
-raise ``UnsupportedJpegError`` — the same explicit gating used for
-audio/video codecs (functions/multimodal.py).
+Scope (documented): the encoder writes baseline DCT (SOF0) single
+grayscale component with standard Annex-K tables; the decoder handles
+any single-component BASELINE stream (restart markers included) AND
+single-component PROGRESSIVE (SOF2) streams — full T.81 G.1.2
+successive approximation (DC/AC first + refinement scans, EOB runs),
+enough to decode the reference's own 05_117.jpg sample page. Color
+and other SOF processes raise ``UnsupportedJpegError`` — the same
+explicit gating used for audio/video codecs (functions/multimodal.py).
 
 Everything here is from the public JPEG (ITU-T T.81) spec: the
 quantization table is Annex K.1, the Huffman tables Annex K.3.
@@ -242,66 +244,10 @@ class _BitReader:
         return v
 
 
-def decode_gray_jpeg(b: bytes) -> np.ndarray:
-    """Baseline single-component JPEG bytes -> uint8 (h, w)."""
-    if b[:2] != b"\xff\xd8":
-        raise UnsupportedJpegError("not a JPEG (no SOI)")
-    qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], tuple] = {}
-    h = w = 0
-    comp_q = 0
-    dc_key = ac_key = None
-    restart_interval = 0
-    i = 2
-    scan_start = None
-    while i < len(b):
-        if b[i] != 0xFF:
-            raise UnsupportedJpegError(f"bad marker sync at {i}")
-        marker = b[i + 1]
-        if marker == 0xD9:
-            break
-        ln = struct.unpack(">H", b[i + 2 : i + 4])[0]
-        payload = b[i + 4 : i + 2 + ln]
-        if marker == 0xDB:
-            j = 0
-            while j < len(payload):
-                pq, tq = payload[j] >> 4, payload[j] & 15
-                if pq != 0:
-                    raise UnsupportedJpegError("16-bit quant tables unsupported")
-                tbl = np.zeros(64, dtype=np.int32)
-                tbl[ZIGZAG] = np.frombuffer(payload[j + 1 : j + 65], dtype=np.uint8)
-                qtables[tq] = tbl.reshape(8, 8)
-                j += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise UnsupportedJpegError(f"only baseline SOF0 supported (got SOF marker {marker:02x})")
-        elif marker == 0xC0:
-            _, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            if ncomp != 1:
-                raise UnsupportedJpegError("only single-component (grayscale) JPEG supported")
-            comp_q = payload[8]
-        elif marker == 0xC4:
-            j = 0
-            while j < len(payload):
-                tc, th = payload[j] >> 4, payload[j] & 15
-                bits = tuple(payload[j + 1 : j + 17])
-                nvals = sum(bits)
-                vals = tuple(payload[j + 17 : j + 17 + nvals])
-                htables[(tc, th)] = (bits, vals)
-                j += 17 + nvals
-        elif marker == 0xDD:
-            restart_interval = struct.unpack(">H", payload[:2])[0]
-        elif marker == 0xDA:
-            td, ta = b[i + 4 + 1 + 1] >> 4, b[i + 4 + 1 + 1] & 15
-            dc_key = htables[(0, td)]
-            ac_key = htables[(1, ta)]
-            scan_start = i + 2 + ln
-            break
-        i += 2 + ln
-    if scan_start is None:
-        raise UnsupportedJpegError("no scan found")
-
-    # Split scan into restart segments, stripping stuffed zero bytes.
-    j = scan_start
+def _entropy_segments(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``start`` to the next non-RST marker,
+    split at restart markers; returns (segments, index of the marker)."""
+    j = start
     segments: list[bytes] = []
     seg_begin = j
     while j < len(b) - 1:
@@ -315,15 +261,93 @@ def decode_gray_jpeg(b: bytes) -> np.ndarray:
                 j += 2
                 seg_begin = j
                 continue
-            break  # EOI or next marker
+            return segments, j
         j += 1
-    else:
-        segments.append(b[seg_begin:j + 1])
+    segments.append(b[seg_begin : j + 1])
+    return segments, len(b)
 
+
+def _parse_jpeg(b: bytes):
+    """Walk all segments; returns (sof_marker, h, w, qtable, scans) where
+    each scan is (ss, se, ah, al, dc_tbl|None, ac_tbl|None, restart,
+    entropy_segments) with the table state at that point (progressive
+    files redefine DHT between scans)."""
+    if b[:2] != b"\xff\xd8":
+        raise UnsupportedJpegError("not a JPEG (no SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], tuple] = {}
+    sof_marker = None
+    h = w = comp_q = 0
+    restart_interval = 0
+    scans = []
+    i = 2
+    while i < len(b) - 1:
+        if b[i] != 0xFF:
+            raise UnsupportedJpegError(f"bad marker sync at {i}")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        ln = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        payload = b[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(payload):
+                pq, tq = payload[j] >> 4, payload[j] & 15
+                if pq != 0:
+                    raise UnsupportedJpegError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = np.frombuffer(payload[j + 1 : j + 65], dtype=np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker in (0xC0, 0xC2):
+            sof_marker = marker
+            _, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if ncomp != 1:
+                raise UnsupportedJpegError(
+                    "only single-component (grayscale) JPEG supported"
+                )
+            comp_q = payload[8]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise UnsupportedJpegError(
+                f"unsupported SOF marker {marker:02x} (baseline SOF0 and "
+                "progressive SOF2 grayscale are implemented)"
+            )
+        elif marker == 0xC4:
+            j = 0
+            while j < len(payload):
+                tc, th = payload[j] >> 4, payload[j] & 15
+                bits = tuple(payload[j + 1 : j + 17])
+                nvals = sum(bits)
+                htables[(tc, th)] = (bits, tuple(payload[j + 17 : j + 17 + nvals]))
+                j += 17 + nvals
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xDA:
+            td, ta = payload[2] >> 4, payload[2] & 15
+            ss, se, ahal = payload[3], payload[4], payload[5]
+            segs, nxt = _entropy_segments(b, i + 2 + ln)
+            scans.append(
+                (
+                    ss, se, ahal >> 4, ahal & 15,
+                    htables.get((0, td)), htables.get((1, ta)),
+                    restart_interval, segs,
+                )
+            )
+            i = nxt
+            continue
+        i += 2 + ln
+    if sof_marker is None or not scans:
+        raise UnsupportedJpegError("no SOF/scan found")
+    return sof_marker, h, w, qtables[comp_q], scans
+
+
+def _decode_sequential(scan, n_blocks: int) -> np.ndarray:
+    _, _, _, _, dc_key, ac_key, restart_interval, segments = scan
     dsym, dlen = _peek_tables((dc_key[0], dc_key[1]))
     asym, alen = _peek_tables((ac_key[0], ac_key[1]))
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_blocks = bh * bw
     zz = np.zeros((n_blocks, 64), dtype=np.int64)
     blk = 0
     for seg_bytes in segments:
@@ -358,10 +382,135 @@ def decode_gray_jpeg(b: bytes) -> np.ndarray:
             blk += 1
         if blk >= n_blocks:
             break
+    return zz
 
+
+def _decode_progressive(scans, n_blocks: int) -> np.ndarray:
+    """T.81 G.1.2 successive-approximation decode for one component:
+    DC first/refinement scans, AC first/refinement scans with EOB runs.
+    Semantics follow the spec (and every mainstream decoder): new AC
+    coefficients arrive as ±1<<Al; refinement passes one correction
+    bit per already-nonzero coefficient traversed."""
+    zz = [[0] * 64 for _ in range(n_blocks)]
+    for ss, se, ah, al, dc_key, ac_key, restart_interval, segments in scans:
+        if ss == 0 and se != 0:
+            raise UnsupportedJpegError(
+                "malformed progressive scan (DC scan must have Se=0)"
+            )
+        if ss == 0 and se == 0:  # DC scan
+            if ah == 0:
+                dsym, dlen = _peek_tables((dc_key[0], dc_key[1]))
+            blk = 0
+            for seg_bytes in segments:
+                rd = _BitReader(seg_bytes.replace(b"\xff\x00", b"\xff"))
+                prev_dc = 0
+                limit = (
+                    min(n_blocks, blk + restart_interval)
+                    if restart_interval
+                    else n_blocks
+                )
+                while blk < limit:
+                    if ah == 0:
+                        p = rd.peek16()
+                        size = int(dsym[p])
+                        rd.pos += int(dlen[p])
+                        if size:
+                            prev_dc += _extend(rd.read(size), size)
+                        zz[blk][0] = prev_dc << al
+                    else:
+                        if rd.read(1):
+                            zz[blk][0] |= 1 << al
+                    blk += 1
+            continue
+        # AC scan
+        asym, alen = _peek_tables((ac_key[0], ac_key[1]))
+        p1, m1 = 1 << al, -(1 << al)
+        blk = 0
+        for seg_bytes in segments:
+            rd = _BitReader(seg_bytes.replace(b"\xff\x00", b"\xff"))
+            eobrun = 0
+            limit = (
+                min(n_blocks, blk + restart_interval) if restart_interval else n_blocks
+            )
+            while blk < limit:
+                row = zz[blk]
+                if ah == 0:  # first pass for this band
+                    if eobrun:
+                        eobrun -= 1
+                        blk += 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        p = rd.peek16()
+                        sym = int(asym[p])
+                        rd.pos += int(alen[p])
+                        r, size = sym >> 4, sym & 15
+                        if size == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rd.read(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        row[k] = _extend(rd.read(size), size) << al
+                        k += 1
+                else:  # refinement pass
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            p = rd.peek16()
+                            sym = int(asym[p])
+                            rd.pos += int(alen[p])
+                            r, size = sym >> 4, sym & 15
+                            val = 0
+                            if size == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += rd.read(r)
+                                    break
+                                # r == 15: pass 16 zero-history coefs
+                            else:
+                                val = p1 if rd.read(1) else m1
+                            while k <= se:
+                                if row[k] != 0:
+                                    if rd.read(1) and (row[k] & p1) == 0:
+                                        row[k] += p1 if row[k] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                row[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if row[k] != 0:
+                                if rd.read(1) and (row[k] & p1) == 0:
+                                    row[k] += p1 if row[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+                blk += 1
+    return np.asarray(zz, dtype=np.int64)
+
+
+def decode_gray_jpeg(b: bytes) -> np.ndarray:
+    """Single-component JPEG bytes -> uint8 (h, w). Baseline (SOF0) and
+    progressive (SOF2) streams are supported; color and other SOF
+    processes raise UnsupportedJpegError."""
+    sof_marker, h, w, qt, scans = _parse_jpeg(b)
+    bh, bw = -(-h // 8), -(-w // 8)
+    n_blocks = bh * bw
+    if sof_marker == 0xC0:
+        zz = _decode_sequential(scans[0], n_blocks)
+    else:
+        zz = _decode_progressive(scans, n_blocks)
     coef = np.zeros((n_blocks, 64), dtype=np.float64)
     coef[:, ZIGZAG] = zz
-    coef = coef.reshape(-1, 8, 8) * qtables[comp_q]
+    coef = coef.reshape(-1, 8, 8) * qt
     c = _dct_matrix()
     pix = np.einsum("ji,njk,kl->nil", c, coef, c) + 128.0
     img = (

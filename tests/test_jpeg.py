@@ -42,11 +42,11 @@ class TestCodec:
             rt = decode_gray_jpeg(encode_gray_jpeg(img, quality=95))
             assert not ((img < 128) ^ (rt < 128)).any()
 
-    def test_rejects_progressive_and_color(self):
+    def test_rejects_malformed_and_color(self):
         img = np.full((16, 16), 128, dtype=np.uint8)
         b = bytearray(encode_gray_jpeg(img))
         i = b.find(b"\xff\xc0")
-        b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        b[i + 1] = 0xC2  # SOF2 header on a baseline scan: malformed
         with pytest.raises(UnsupportedJpegError):
             decode_gray_jpeg(bytes(b))
         b = bytearray(encode_gray_jpeg(img))
@@ -54,6 +54,31 @@ class TestCodec:
         b[i + 9] = 3  # claim 3 components
         with pytest.raises(UnsupportedJpegError):
             decode_gray_jpeg(bytes(b))
+        b = bytearray(encode_gray_jpeg(img))
+        i = b.find(b"\xff\xc0")
+        b[i + 1] = 0xC3  # lossless SOF3 stays gated
+        with pytest.raises(UnsupportedJpegError):
+            decode_gray_jpeg(bytes(b))
+
+    def test_progressive_decode_of_reference_fixture(self):
+        """The reference's own sample page (05_117.jpg, grayscale SOF2
+        progressive, 6 scans with successive approximation) decodes to
+        a plausible manga page: right dims, white-paper dominant,
+        real ink mass. Skipped when the reference checkout is absent
+        (the repo stays standalone)."""
+        import os
+
+        path = "/root/reference/tests/fixtures/images/05_117.jpg"
+        if not os.path.exists(path):
+            pytest.skip("reference fixture not available")
+        img = decode_gray_jpeg(open(path, "rb").read())
+        assert img.shape == (1600, 1072)
+        frac_white = (img > 200).mean()
+        frac_ink = (img < 64).mean()
+        assert frac_white > 0.5  # manga paper
+        assert 0.01 < frac_ink < 0.5  # real ink, not garbage noise
+        # DC sanity: block means span a wide range (not a flat field)
+        assert img.std() > 40
 
     def test_rejects_garbage(self):
         with pytest.raises(UnsupportedJpegError):
