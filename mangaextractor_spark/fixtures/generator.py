@@ -62,7 +62,13 @@ class CorpusSpec:
     bubble_fill: int = 255  # <240 = off-white bubbles, invisible to the whiteness mask
     p_speckle: float = 0.0  # per-lattice-site chance of a 1px dark speck inside bubbles
     border_art: bool = False  # large black blobs in page margins (robust must reject)
-    p_jpeg: float = 0.0  # per-page chance of baseline-JPEG (q95) instead of PNG encoding
+    p_jpeg: float = 0.0  # per-page chance of JPEG (q95) instead of PNG encoding
+    # Among JPEG pages: chance of a 3-component YCbCr 4:2:0 encoding
+    # (half baseline, half progressive) with a constant-chroma tint that
+    # preserves the page's BT.601 luma — real-world manga scans are
+    # routinely saved as color JPEG even when visually grayscale
+    # (reference loads them via cv2.imread, modules/detection.py:41).
+    p_color_jpeg: float = 0.0
     # Per-doc chance of a COVER page: a 2x-upscaled rendered page stored
     # as media_ref "{doc_id}#capa", NOT referenced by any span — the
     # analog of the reference's capa/ directories, which its extraction
@@ -214,6 +220,19 @@ def _render_page(
     return img, bubbles
 
 
+def _tint_rgb(gray: np.ndarray) -> np.ndarray:
+    """Deterministic sepia-ish RGB page whose BT.601 luma equals the
+    gray page (constant chroma Cb=134, Cr=121 via the inverse JFIF
+    transform; clipping near pure black/white perturbs luma by <4,
+    far inside every kernel threshold)."""
+    y = gray.astype(np.float64)
+    cb, cr = 6.0, -7.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
 def _add_speckle(
     img: np.ndarray, rng: np.random.Generator, spec: CorpusSpec, bubbles: list[dict]
 ) -> None:
@@ -309,9 +328,19 @@ def _generate_doc(spec: CorpusSpec, di: int) -> tuple[dict, list, list, list]:
         # Short-circuit keeps the rng stream untouched when p_jpeg=0, so
         # pre-existing corpora (and their goldens) are bit-identical.
         if spec.p_jpeg > 0 and rng.random() < spec.p_jpeg:
-            from .jpeg import encode_gray_jpeg
+            if spec.p_color_jpeg > 0 and rng.random() < spec.p_color_jpeg:
+                from .jpeg import encode_color_jpeg
 
-            png = encode_gray_jpeg(img, quality=95)
+                png = encode_color_jpeg(
+                    _tint_rgb(img),
+                    quality=95,
+                    subsampling="420",
+                    progressive=bool(rng.integers(0, 2)),
+                )
+            else:
+                from .jpeg import encode_gray_jpeg
+
+                png = encode_gray_jpeg(img, quality=95)
         else:
             png = encode_gray_png(img)
         media_rows.append(

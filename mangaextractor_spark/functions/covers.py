@@ -18,6 +18,7 @@ single mapInPandas pass over the winners.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -38,8 +39,11 @@ def cover_candidates(media: DataFrame) -> DataFrame:
     """capa-marked rows + their doc key: '{doc_id}#capa' fragments map
     to doc_id; 'dir/capa*/file' paths map to the capa dir's parent."""
     is_fragment = F.col("media_ref").contains("#capa")
+    # Anchored (^|/) so a ROOT-LEVEL 'capa/file.png' maps to the root
+    # document '' instead of leaking the full path as a bogus per-file
+    # doc; nested 'dir/capa*/file' maps to the capa dir's parent.
     doc_id = F.when(is_fragment, F.substring_index("media_ref", "#", 1)).otherwise(
-        F.regexp_replace("media_ref", r"/capa[^/]*/.*$", "")
+        F.regexp_replace("media_ref", r"(^|/)capa[^/]*/.*$", "")
     )
     return media.filter(F.col("media_ref").rlike(COVER_MARKER_RE)).withColumn(
         "doc_id", doc_id
@@ -62,9 +66,16 @@ def covers(media: DataFrame, max_side: int = COVER_MAX_SIDE) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, ref, b in zip(pdf["doc_id"], pdf["media_ref"], pdf["image_bytes"]):
-                img = decode_gray_image(bytes(b))
-                thumb = block_average_downscale(img, max_side)
                 fname = ref.rsplit("/", 1)[-1]
+                try:
+                    img = decode_gray_image(bytes(b))
+                    thumb = block_average_downscale(img, max_side)
+                except (ValueError, KeyError, IndexError, struct.error):
+                    # Failure-marker row (mirrors pipeline/extract.py's
+                    # decode handling): one corrupt capa file must not
+                    # fail the whole job.
+                    rows.append((doc_id, ref, fname, "jpg", None, 0, 0, 0, 0))
+                    continue
                 rows.append(
                     (
                         doc_id,

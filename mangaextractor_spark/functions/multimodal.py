@@ -35,7 +35,7 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 MEDIA_META_SCHEMA = (
     "media_ref string, format string, width int, height int, bit_depth int, "
-    "n_bytes long, content_md5 string"
+    "n_channels int, n_bytes long, content_md5 string"
 )
 
 THUMBNAIL_SCHEMA = "media_ref string, thumb_png binary, thumb_w int, thumb_h int"
@@ -45,11 +45,14 @@ FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame_png binary"
 AUDIO_FEATURES_SCHEMA = "media_ref string, duration_s double, rms double, n_samples long"
 
 
-def _parse_png_header(b: bytes) -> tuple[int, int, int] | None:
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # IHDR color type -> samples
+
+
+def _parse_png_header(b: bytes) -> tuple[int, int, int, int] | None:
     if b[:8] != PNG_SIG or len(b) < 26:
         return None
-    w, h, depth = _struct.unpack(">IIB", b[16:25])
-    return w, h, depth
+    w, h, depth, ctype = _struct.unpack(">IIBB", b[16:26])
+    return w, h, depth, _PNG_CHANNELS.get(ctype, 0)
 
 
 def media_metadata(media: DataFrame, hex_hash: bool = False) -> DataFrame:
@@ -69,17 +72,19 @@ def media_metadata(media: DataFrame, hex_hash: bool = False) -> DataFrame:
                 b = bytes(b)
                 hdr = _parse_png_header(b)
                 if hdr:
-                    fmt, (w, h, d) = "png", hdr
+                    fmt, (w, h, d, nc) = "png", hdr
                 else:
                     jh = jpeg_dimensions(b)
-                    fmt, (w, h, d) = ("jpeg", jh) if jh else ("unknown", (0, 0, 0))
+                    fmt, (w, h, d, nc) = ("jpeg", jh) if jh else ("unknown", (0, 0, 0, 0))
                 payload = b.hex().upper().encode() if hex_hash else b
-                rows.append((ref, fmt, w, h, d, len(b), hashlib.md5(payload).hexdigest()))
+                rows.append(
+                    (ref, fmt, w, h, d, nc, len(b), hashlib.md5(payload).hexdigest())
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_ref", "format", "width", "height", "bit_depth",
-                    "n_bytes", "content_md5",
+                    "n_channels", "n_bytes", "content_md5",
                 ],
             )
 

@@ -38,11 +38,14 @@ def extract_manga_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # binary-media kernels have no SQL twin -> rows-only check;
     # exact values are asserted against fixture parameters in tests.
     doc="Multimodal column operators over a MIXED-FORMAT synthetic media "
-    "table (~half PNG, half baseline JPEG): header metadata "
-    "(format/width/height/bit_depth), content md5, and P8 block-average "
-    "thumbnails (both decoders exercised) — joined into one row per "
-    "page. All three are single-scan mapInPandas/Column stages (no "
-    "shuffle before the join, same media_ref partitioning).",
+    "table (PNG + grayscale JPEG + color 4:2:0 JPEG, baseline and "
+    "progressive): header metadata (format/width/height/bit_depth/"
+    "n_channels), content md5, and P8 block-average thumbnails (every "
+    "decoder variant exercised) — joined into one row per page. All "
+    "three are single-scan mapInPandas/Column stages (no shuffle before "
+    "the join, same media_ref partitioning). No cosmetic orderBy: the "
+    "driver compare is order-insensitive and a final sort would "
+    "range-sample-re-execute the kernels.",
     tags=("multimodal",),
 )
 def media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,17 +53,15 @@ def media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures.spark_io import media_to_spark
     from ..functions.multimodal import media_metadata, thumbnails
 
-    corpus = generate_corpus(CorpusSpec(n_docs=12, seed=42, p_jpeg=0.4))
+    corpus = generate_corpus(
+        CorpusSpec(n_docs=12, seed=42, p_jpeg=0.5, p_color_jpeg=0.5)
+    )
     media = media_to_spark(spark, corpus["media"]).cache()
     meta = media_metadata(media)  # includes the P4 content_md5
     th = thumbnails(media).select("media_ref", "thumb_w", "thumb_h")
-    return (
-        meta.join(th, "media_ref")
-        .select(
-            "media_ref", "format", "width", "height", "bit_depth",
-            "n_bytes", "content_md5", "thumb_w", "thumb_h",
-        )
-        .orderBy("media_ref")
+    return meta.join(th, "media_ref").select(
+        "media_ref", "format", "width", "height", "bit_depth",
+        "n_channels", "n_bytes", "content_md5", "thumb_w", "thumb_h",
     )
 
 

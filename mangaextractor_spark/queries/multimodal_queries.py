@@ -4,11 +4,14 @@ These were rows-only in round 1 because the oracle cannot see fixture
 DataFrames; now both engines read the SAME write-once fixture parquet
 (fixtures/shared.py) and the oracle parses image headers as BYTE
 SLICES over ``hex(image_bytes)`` — PNG IHDR at fixed offsets, JPEG SOF
-located via the first 'FFC0' marker. Covered-shape note (like the
-parse_* oracles): locating SOF by strpos assumes no 0xFF byte precedes
-the real SOF0 segment, which holds for every file our encoder emits
-(JFIF APP0 + q95 DQT contain none); the Spark side walks the segment
-chain properly (sources/decode.py:jpeg_dimensions).
+located via the first BYTE-ALIGNED 'FFC0' (baseline) / 'FFC2'
+(progressive) marker (lazy pair-quantifier regexp — plain strpos
+mis-hits nibble-straddling FFC0 strings inside entropy data).
+Covered-shape note (like the parse_* oracles): this assumes no aligned
+FFC0/FFC2 byte pair precedes the real SOF segment, which holds for
+every file our encoder emits (APP0/DQT precede SOF and contain none;
+entropy data only follows SOS, which follows SOF); the Spark side
+walks the segment chain properly (sources/decode.py:jpeg_dimensions).
 """
 
 from __future__ import annotations
@@ -34,7 +37,11 @@ t AS (
     CASE WHEN substring(hx, 1, 16) = '{_PNG_SIG_HEX}' THEN 'png'
          WHEN substring(hx, 1, 4) = 'FFD8' THEN 'jpeg'
          ELSE 'unknown' END AS format,
-    strpos(hx, 'FFC0') AS sof
+    -- First BYTE-ALIGNED SOF0/SOF2 marker: the lazy pair-quantifier
+    -- forces even hex offsets, so 'FFC0' strings that straddle two
+    -- bytes inside entropy data can never match (a plain strpos does
+    -- mis-hit those on multi-scan/color files).
+    length(regexp_extract(hx, '^(?:..)*?FFC[02]', 0)) - 3 AS sof
   FROM m
 ),
 meta AS (
@@ -51,6 +58,12 @@ meta AS (
       WHEN 'png' THEN CAST(('0x' || substring(hx, 49, 2)) AS BIGINT)
       WHEN 'jpeg' THEN CAST(('0x' || substring(hx, sof + 8, 2)) AS BIGINT)
       ELSE 0 END AS INTEGER) AS bit_depth,
+    CAST(CASE format
+      WHEN 'png' THEN CASE substring(hx, 51, 2)
+        WHEN '00' THEN 1 WHEN '02' THEN 3 WHEN '03' THEN 1
+        WHEN '04' THEN 2 WHEN '06' THEN 4 ELSE 0 END
+      WHEN 'jpeg' THEN CAST(('0x' || substring(hx, sof + 18, 2)) AS BIGINT)
+      ELSE 0 END AS INTEGER) AS n_channels,
     octet_length(image_bytes) AS n_bytes,
     md5(hx) AS content_md5
   FROM t
@@ -62,15 +75,17 @@ meta AS (
     "media_metadata",
     _META_CTE
     + """
-    SELECT media_ref, format, width, height, bit_depth, n_bytes, content_md5
+    SELECT media_ref, format, width, height, bit_depth, n_channels, n_bytes, content_md5
     FROM meta ORDER BY media_ref
     """,
-    doc="Typed metadata for every media row (mixed PNG/JPEG + covers), "
-    "HASH-CHECKED against a byte-slicing DuckDB oracle over the shared "
-    "fixture parquet: PNG IHDR ints at fixed hex offsets, JPEG SOF "
-    "located at the first FFC0 marker, content hash = md5 of the "
-    "uppercase hex (DuckDB's md5 takes no BLOBs). Spark side is the "
-    "single-scan mapInPandas header kernel used by the engine proper.",
+    doc="Typed metadata for every media row (mixed PNG + gray/color "
+    "baseline/progressive JPEG + covers), HASH-CHECKED against a "
+    "byte-slicing DuckDB oracle over the shared fixture parquet: PNG "
+    "IHDR ints at fixed hex offsets, JPEG SOF located at the first "
+    "FFC0/FFC2 marker, channel count from the SOF component count / "
+    "IHDR color type, content hash = md5 of the uppercase hex "
+    "(DuckDB's md5 takes no BLOBs). Spark side is the single-scan "
+    "mapInPandas header kernel used by the engine proper.",
     tags=("multimodal",),
 )
 def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,7 +104,7 @@ def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     , cand AS (
       SELECT *,
         CASE WHEN media_ref LIKE '%#capa%' THEN split_part(media_ref, '#', 1)
-             ELSE regexp_replace(media_ref, '/capa[^/]*/.*$', '') END AS doc_id
+             ELSE regexp_replace(media_ref, '(^|/)capa[^/]*/.*$', '') END AS doc_id
       FROM meta
       WHERE regexp_matches(media_ref, '(^|[/#])capa([^/]*)(/|$)')
     ),
