@@ -377,14 +377,16 @@ _LSH_PAIRS_CTE = (
     doc="Near-duplicate CLUSTERS: connected components over the "
     "MinHash-LSH candidate graph, cluster id = lexicographic min doc_id "
     "(the keeper), plus cluster size — the step that turns pairwise "
-    "dedup into per-cluster keep/drop decisions. Spark side is "
-    "iterative min-label propagation over the (tiny relative to the "
-    "corpus) edge set with localCheckpoint between rounds, converging "
-    "in O(component diameter) rounds — near-dup clusters are shallow by "
-    "construction, and the 100 TB upgrade path (alternating "
-    "large-star/small-star, O(log n) rounds) keeps the same dataflow "
-    "shape. Oracle: recursive-CTE transitive closure + MIN. At corpus "
-    "scale the iteration input is the candidate-pair table, orders of "
+    "dedup into per-cluster keep/drop decisions. Spark side alternates "
+    "LARGE-STAR/SMALL-STAR rounds (the O(log n)-round MapReduce "
+    "connected-components construction of Kiveris et al., 'Connected "
+    "Components in MapReduce and Beyond', SoCC'14 — public algorithm) "
+    "over the candidate-edge set with localCheckpoint between rounds: "
+    "a diameter-d chain converges in O(log d) rounds instead of the "
+    "O(d) of plain min-label propagation, which is the difference that "
+    "matters when an adversarial chain appears at corpus scale. "
+    "Oracle: recursive-CTE transitive closure + MIN. At corpus scale "
+    "the iteration input is the candidate-pair table, orders of "
     "magnitude smaller than the corpus itself.",
     tags=("dedup", "graph"),
 )
@@ -392,37 +394,80 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     pairs = minhash_lsh_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
-        .unionByName(pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d")))
-        .localCheckpoint()
-    )
-    labels = edges.select(F.col("s").alias("doc_id")).distinct().withColumn(
-        "lbl", F.col("doc_id")
-    ).localCheckpoint()
-    while True:
-        neigh = (
-            edges.join(labels, edges.s == labels.doc_id)
-            .groupBy(F.col("d").alias("doc_id"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        merged = (
-            labels.join(neigh, "doc_id", "left")
-            .select("doc_id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl2"))
-        ).localCheckpoint()
-        # convergence: any label strictly decreased this round?
-        n_changed = (
-            merged.join(labels, "doc_id")
-            .filter(F.col("lbl2") < F.col("lbl"))
-            .count()
-        )
-        labels = merged.select("doc_id", F.col("lbl2").alias("lbl"))
-        if n_changed == 0:
-            break
-    w = W.partitionBy("lbl")
+    labels, _ = connected_components(pairs)
+    w = W.partitionBy("cluster_id")
     return labels.select(
         "doc_id",
-        F.col("lbl").alias("cluster_id"),
+        "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
-        (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     ).orderBy("doc_id")
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 64):
+    """Connected components of an undirected edge list ``(a_id, b_id)``
+    by alternating large-star/small-star; returns
+    ``(labels_df(doc_id, cluster_id), n_rounds)`` with cluster_id = the
+    component's minimum doc_id. O(log n) rounds; each round is two
+    shuffles on the EDGE set (not the corpus) plus an O(1)-row
+    convergence probe, lineage truncated via localCheckpoint.
+
+    Large-star: every neighbor v > u is re-pointed at m(u) = min of
+    u's closed neighborhood. Small-star: on the larger->smaller
+    orientation, every smaller neighbor (and u itself) is pointed at
+    the minimum. The fixed point is a star forest rooted at component
+    minima."""
+    nodes = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical orientation: hi > lo (lexicographic)
+    e = (
+        pairs.select(
+            F.greatest("a_id", "b_id").alias("hi"), F.least("a_id", "b_id").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    rounds = 0
+    while n_edges and rounds < max_rounds:
+        rounds += 1
+        # ---- large-star over the symmetric view
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # ---- small-star over the larger->smaller orientation
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(mins2, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(mins2.select("hi", F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint()
+        )
+        ss_count = ss.count()
+        if ss_count == n_edges and ss.exceptAll(e).isEmpty():
+            e = ss
+            break
+        e, n_edges = ss, ss_count
+    # star forest -> labels; roots (never a 'hi') label themselves
+    lab = e.groupBy(F.col("hi").alias("doc_id")).agg(F.min("lo").alias("cluster_id"))
+    labels = lab.unionByName(
+        nodes.join(lab, "doc_id", "left_anti").withColumn(
+            "cluster_id", F.col("doc_id")
+        )
+    )
+    return labels, rounds

@@ -96,3 +96,28 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path_factory):
     want = sorted(zip(odf.doc_id, odf.cluster_id, odf.cluster_size, odf.is_keeper))
     assert got == want
     assert got == [("a", "a", 3, True), ("b", "a", 3, False), ("c", "a", 3, False)]
+
+
+def test_connected_components_log_rounds(spark):
+    """Round-complexity proof for the large-star/small-star upgrade: a
+    diameter-256 chain (the adversarial shape for min-label
+    propagation, which needs O(256) rounds) must converge within
+    ~2*log2(n)+2 alternation rounds, with every node labeled by the
+    chain head. A second disjoint component checks labels don't leak."""
+    import math
+
+    import pandas as pd
+
+    from mangaextractor_spark.queries.dedup import connected_components
+
+    n = 257
+    ids = [f"n{i:04d}" for i in range(n)]
+    chain = pd.DataFrame({"a_id": ids[:-1], "b_id": ids[1:]})
+    other = pd.DataFrame({"a_id": ["z1", "z2"], "b_id": ["z2", "z3"]})
+    pairs = spark.createDataFrame(pd.concat([chain, other], ignore_index=True))
+    labels, rounds = connected_components(pairs)
+    got = labels.toPandas().set_index("doc_id")["cluster_id"]
+    assert len(got) == n + 3
+    assert (got[ids] == "n0000").all()
+    assert (got[["z1", "z2", "z3"]] == "z1").all()
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, rounds
