@@ -18,6 +18,7 @@ chunk that failed mid-write is simply redone.
 
 from __future__ import annotations
 
+import json
 import time
 import uuid
 from pathlib import Path
@@ -43,12 +44,20 @@ def _lineage_dir(out_dir: str) -> str:
 
 
 def completed_chunks(spark: SparkSession, out_dir: str) -> set[int]:
+    return _completed(spark, out_dir, "done")
+
+
+def covers_completed(spark: SparkSession, out_dir: str) -> bool:
+    return bool(_completed(spark, out_dir, "covers_done"))
+
+
+def _completed(spark: SparkSession, out_dir: str, status: str) -> set[int]:
     path = Path(_lineage_dir(out_dir))
     if not any(path.glob("*.parquet")) and not any(path.glob("**/*.parquet")):
         return set()
     rows = (
         spark.read.parquet(str(path))
-        .filter(F.col("status") == "done")
+        .filter(F.col("status") == status)
         .select("chunk")
         .distinct()
         .collect()
@@ -67,13 +76,22 @@ def run_extraction(
     run_id: str | None = None,
     furigana: bool = False,
     robust: bool = False,
+    include_covers: bool = False,
 ) -> DataFrame:
     """Execute the pipeline chunk-by-chunk with lineage; returns the
     final numbered span DataFrame (also written to ``{out_dir}/spans``).
 
     ``fail_on_chunk`` injects a failure before that chunk commits —
     used by the resume tests (kill mid-run, rerun, verify completed
-    chunks are skipped and output equals a clean run).
+    chunks are skipped and output equals a clean run). ``-1`` injects
+    it after all OCR chunks but before the covers commit.
+
+    ``include_covers=True`` additionally runs the S6 cover pipeline:
+    capa-marked media rows are staged alongside the page table (so a
+    resumed run never rescans the media source for covers either),
+    thumbnailed/upserted into ``{out_dir}/covers``, and committed under
+    a ``covers_done`` lineage row (chunk = -1) that resume honors like
+    any chunk.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     spans = docs.select("doc_id", F.explode("spans").alias("sp")).select(
@@ -90,7 +108,34 @@ def run_extraction(
     # bucket-partitioned staging table; out_dir is per run-config, so
     # the staging content is never stale for its lineage.)
     pages_dir = f"{out_dir}/_pages"
-    if not Path(f"{pages_dir}/_SUCCESS").exists():
+    capa_dir = f"{out_dir}/_capa"
+    manifest_path = Path(out_dir) / "_staging_manifest.json"
+    if manifest_path.exists():
+        # Staging-reuse guard (resume correctness): the chunk domain of
+        # the staged page table is baked in at materialization time —
+        # resuming with a smaller n_chunks would silently never process
+        # pages whose stored chunk >= n_chunks. Fail fast instead of
+        # trusting the out_dir-is-per-run-config convention.
+        stored = json.loads(manifest_path.read_text())
+        if stored["n_chunks"] != n_chunks:
+            raise ChunkFailure(
+                f"staging at {pages_dir} was materialized with n_chunks="
+                f"{stored['n_chunks']}, but this run requested n_chunks="
+                f"{n_chunks}; resuming would drop or re-bucket pages. "
+                f"Rerun with n_chunks={stored['n_chunks']} or a fresh out_dir."
+            )
+        if include_covers and not stored.get("covers", False):
+            raise ChunkFailure(
+                f"staging at {out_dir} was materialized without cover "
+                "candidates; rerun with a fresh out_dir to include covers."
+            )
+    else:
+        if include_covers:
+            from ..functions.covers import cover_candidates
+
+            cover_candidates(media).select("media_ref", "image_bytes").write.mode(
+                "overwrite"
+            ).parquet(capa_dir)
         (
             spans.filter(F.col("kind") == "image")
             .select("doc_id", "offset", "media_ref")
@@ -100,6 +145,9 @@ def run_extraction(
             .mode("overwrite")
             .parquet(pages_dir)
         )
+        # The manifest is the staging commit marker: written LAST, so a
+        # run killed mid-staging re-materializes everything above.
+        manifest_path.write_text(json.dumps({"n_chunks": n_chunks, "covers": include_covers}))
     pages = spark.read.parquet(pages_dir)
     done = completed_chunks(spark, out_dir)
     for chunk in range(n_chunks):
@@ -153,6 +201,41 @@ def run_extraction(
                     stats.doc_id_min,
                     stats.doc_id_max,
                     wall_ms,
+                )
+            ],
+            LINEAGE_SCHEMA,
+        ).write.mode("append").parquet(_lineage_dir(out_dir))
+    if include_covers and not covers_completed(spark, out_dir):
+        if fail_on_chunk == -1:
+            raise ChunkFailure("injected failure before covers committed")
+        from ..functions.covers import covers
+
+        t0 = time.monotonic()
+        capa = spark.read.parquet(capa_dir)
+        cov = covers(capa)
+        cov.write.mode("overwrite").parquet(f"{out_dir}/covers")
+        written = spark.read.parquet(f"{out_dir}/covers")
+        cstats = written.agg(
+            F.count(F.lit(1)).alias("n_covers"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.when(F.col("cover_bytes").isNull(), 1).otherwise(0)).alias("n_failed"),
+            F.min("doc_id").alias("doc_id_min"),
+            F.max("doc_id").alias("doc_id_max"),
+        ).first()
+        spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    -1,
+                    "covers_done",
+                    cstats.n_covers,
+                    cstats.n_docs,
+                    0,
+                    0,
+                    cstats.n_failed or 0,
+                    cstats.doc_id_min or "",
+                    cstats.doc_id_max or "",
+                    int((time.monotonic() - t0) * 1000),
                 )
             ],
             LINEAGE_SCHEMA,

@@ -278,3 +278,28 @@ def test_extract_plan_shuffle_discipline(spark, corpus):
     assert plan.count("Exchange hashpartitioning") == 1  # the span window only
     assert plan.count("BroadcastExchange") >= 1  # metadata side of the media join
     assert not any("image_bytes" in l for l in exchange_lines)
+
+
+def test_extract_broadcast_meta_false_golden_and_plan(spark, corpus):
+    """The documented escape hatch for metadata exceeding broadcast
+    limits at 10^12-doc scale (extract_spans(broadcast_meta=False)):
+    same spans, and the media join genuinely shuffle-joins — no
+    BroadcastExchange anywhere in the executed plan (auto-broadcast is
+    pinned off so AQE cannot silently re-broadcast the small test
+    corpus and mask a regression)."""
+    from mangaextractor_spark.fixtures.spark_io import golden_to_spark
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = docs_to_spark(spark, corpus["documents"])
+        media = media_to_spark(spark, corpus["media"]).repartition(8)
+        df = extract_spans(docs, media, broadcast_meta=False)
+        golden = golden_to_spark(spark, corpus["golden_spans"])
+        key = ["doc_id", "kind", "text", "media_ref", "order"]
+        assert df.select(key).exceptAll(golden.select(key)).count() == 0
+        assert golden.select(key).exceptAll(df.select(key)).count() == 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

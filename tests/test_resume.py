@@ -141,3 +141,62 @@ def test_chunked_run_robust_mode(spark, tmp_path):
         for r in corpus["golden_spans"].itertuples()
     )
     assert got == exp
+
+
+def test_staging_nchunks_mismatch_fails_fast(spark, corpus_dfs, tmp_path):
+    """Resuming into an out_dir staged with a different n_chunks must
+    raise, not silently skip pages whose stored chunk >= n_chunks."""
+    docs, media = corpus_dfs
+    out = str(tmp_path / "m")
+    run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS)
+    with pytest.raises(ChunkFailure, match="n_chunks"):
+        run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS - 2)
+    # same n_chunks still resumes fine (no-op)
+    run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS)
+
+
+def test_covers_resume_from_staging(spark, tmp_path):
+    """S6 covers ride the chunk runner: cover candidates are staged at
+    materialization, committed under a covers_done lineage row, and a
+    resumed run completes covers WITHOUT the media source (deleted
+    between runs) and without re-running finished OCR chunks."""
+    import shutil
+
+    from mangaextractor_spark.functions.covers import covers
+    from mangaextractor_spark.pipeline.checkpoint import covers_completed
+
+    corpus = generate_corpus(CorpusSpec(n_docs=10, seed=31, p_cover=0.8))
+    media_dir = str(tmp_path / "media_src")
+    media_to_spark(spark, corpus["media"]).write.parquet(media_dir)
+    docs = docs_to_spark(spark, corpus["documents"])
+    media = spark.read.parquet(media_dir)
+
+    expected = sorted(
+        (r.doc_id, r.media_ref, r.thumb_w, r.thumb_h)
+        for r in covers(media).collect()
+    )
+    assert expected, "fixture must actually contain covers"
+
+    out = str(tmp_path / "out")
+    with pytest.raises(ChunkFailure, match="covers"):
+        run_extraction(
+            spark, docs, media, out, n_chunks=N_CHUNKS,
+            include_covers=True, fail_on_chunk=-1,
+        )
+    assert completed_chunks(spark, out) == set(range(N_CHUNKS))
+    assert not covers_completed(spark, out)
+
+    shutil.rmtree(media_dir)  # source vanishes; covers must still finish
+    run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS, include_covers=True)
+    assert covers_completed(spark, out)
+    got = sorted(
+        (r.doc_id, r.media_ref, r.thumb_w, r.thumb_h)
+        for r in spark.read.parquet(f"{out}/covers").collect()
+    )
+    assert got == expected
+
+    # rerun: covers are not recomputed (single covers_done lineage row)
+    run_extraction(spark, docs, media, out, n_chunks=N_CHUNKS, include_covers=True)
+    lineage = spark.read.parquet(f"{out}/_lineage")
+    assert lineage.filter("status = 'covers_done'").count() == 1
+    assert lineage.count() == N_CHUNKS + 1
