@@ -17,9 +17,11 @@ from . import register
     "extract_manga_spans",
     None,
     doc="Full manga extraction pipeline on a deterministic synthetic "
-    "corpus (seed=42): interleaved doc spans -> page decode -> robust "
-    "cleaning-ladder segmentation (K4-K15 composition, robust=True) -> "
-    "OCR -> RTL/TTB ordering -> numbered span table.",
+    "MIXED-FORMAT corpus (seed=42; PNG + grayscale JPEG + color 4:2:0 "
+    "JPEG pages): interleaved doc spans -> page decode (all codec "
+    "variants) -> robust cleaning-ladder segmentation (K4-K15 "
+    "composition, robust=True) -> OCR -> RTL/TTB ordering -> numbered "
+    "span table.",
     tags=("extraction", "pipeline"),
 )
 def extract_manga_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,7 +29,9 @@ def extract_manga_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures.spark_io import docs_to_spark, media_to_spark
     from ..pipeline.extract import extract_spans
 
-    corpus = generate_corpus(CorpusSpec(n_docs=16, seed=42))
+    corpus = generate_corpus(
+        CorpusSpec(n_docs=16, seed=42, p_jpeg=0.3, p_color_jpeg=0.5)
+    )
     docs = docs_to_spark(spark, corpus["documents"])
     media = media_to_spark(spark, corpus["media"])
     return extract_spans(docs, media, robust=True)
