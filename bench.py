@@ -72,35 +72,40 @@ def _force(df) -> None:
 
 def _materialize_corpus(
     corpus_dir: str, n_docs: int, page_w: int = 420, page_h: int = 600
-) -> None:
+) -> str:
     """Generate (in parallel) and write docs+media parquet once; reused
-    across JVMs so scaling runs time the pipeline, not generation."""
+    across JVMs so scaling runs time the pipeline, not generation.
+    Each (n_docs, dims) combination gets its OWN subdirectory — a
+    shared directory with per-combination markers once let a 4096-doc
+    corpus silently serve a 2048-doc run. Returns the corpus path."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from mangaextractor_spark.fixtures.generator import CorpusSpec, generate_corpus
 
+    sub = Path(corpus_dir) / f"{n_docs}-{page_w}x{page_h}"
     # v2: connected-glyph font + ink-rect ordering (fixtures changed)
-    marker = Path(corpus_dir) / f".complete-v2-{n_docs}-{page_w}x{page_h}"
+    marker = sub / ".complete-v2"
     if marker.exists():
-        return
+        return str(sub)
     corpus = generate_corpus(
         CorpusSpec(n_docs=n_docs, seed=42, page_w=page_w, page_h=page_h),
         processes=os.cpu_count(),
     )
-    Path(corpus_dir).mkdir(parents=True, exist_ok=True)
+    sub.mkdir(parents=True, exist_ok=True)
     docs = corpus["documents"]
     docs_tbl = pa.Table.from_pylist(
         [{"doc_id": r["doc_id"], "spans": r["spans"]} for _, r in docs.iterrows()]
     )
-    pq.write_table(docs_tbl, f"{corpus_dir}/documents.parquet", row_group_size=256)
+    pq.write_table(docs_tbl, f"{sub}/documents.parquet", row_group_size=256)
     media_tbl = pa.Table.from_pandas(corpus["media"], preserve_index=False)
     # Small row groups (~12 MB of PNG bytes) so the scan splits across
     # tasks — a single-row-group file can only be read by one task,
     # which serializes everything upstream of the first shuffle. (The
     # Iceberg analog: write.target-file-size / row-group sizing.)
-    pq.write_table(media_tbl, f"{corpus_dir}/media.parquet", row_group_size=100)
+    pq.write_table(media_tbl, f"{sub}/media.parquet", row_group_size=100)
     marker.touch()
+    return str(sub)
 
 
 def _load_corpus(spark, corpus_dir: str):
@@ -169,8 +174,8 @@ def run_default(args) -> None:
             dt = round(time.monotonic() - t0, 3)
             timings[name] = min(timings.get(name, float("inf")), dt)
 
-    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/spark_graft_bench_corpus")
-    _materialize_corpus(corpus_dir, args.docs)
+    corpus_root = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/spark_graft_bench_corpus")
+    corpus_dir = _materialize_corpus(corpus_root, args.docs)
     probe = extraction_probe(spark, corpus_dir)
     timings["extract_pipeline"] = probe["sec"]
     probe_r = extraction_probe(spark, corpus_dir, robust=True)
@@ -196,11 +201,12 @@ def run_default(args) -> None:
 
 
 def run_extract_only(args) -> None:
-    corpus_dir = args.corpus or os.environ.get(
-        "SPARK_GRAFT_CORPUS_DIR", "/tmp/spark_graft_bench_corpus"
-    )
-    if not list(Path(corpus_dir).glob(".complete-*")):  # any materialized corpus is fine
-        _materialize_corpus(corpus_dir, args.docs)
+    corpus_dir = args.corpus
+    if not corpus_dir or not (Path(corpus_dir) / ".complete-v2").exists():
+        corpus_dir = _materialize_corpus(
+            os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/spark_graft_bench_corpus"),
+            args.docs,
+        )
     spark = _spark(args.cores)
     out = extraction_probe(spark, corpus_dir, robust=args.robust)
     out["cores"] = args.cores
@@ -218,13 +224,19 @@ def run_scaling(args) -> None:
     # bench-sized wall time — the Spark plan is identical either way,
     # only the per-page kernel constant changes.
     if args.robust:
-        corpus_dir = os.environ.get(
-            "SPARK_GRAFT_SCALE_DIR_SMALL", "/tmp/spark_graft_scale_corpus_420"
+        corpus_dir = _materialize_corpus(
+            os.environ.get("SPARK_GRAFT_SCALE_DIR_SMALL", "/tmp/spark_graft_scale_corpus_420"),
+            args.docs,
+            page_w=420,
+            page_h=600,
         )
-        _materialize_corpus(corpus_dir, args.docs, page_w=420, page_h=600)
     else:
-        corpus_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale_corpus")
-        _materialize_corpus(corpus_dir, args.docs, page_w=840, page_h=1200)
+        corpus_dir = _materialize_corpus(
+            os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale_corpus"),
+            args.docs,
+            page_w=840,
+            page_h=1200,
+        )
     results = {}
     for cores in (args.n, args.n * 4):
         proc = subprocess.run(
