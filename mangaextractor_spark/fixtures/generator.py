@@ -75,6 +75,9 @@ class CorpusSpec:
     # walk skips but its cover pipeline thumbnails and upserts
     # (processor.py:287-292, db_util.py:377-451).
     p_cover: float = 0.0
+    # Encode covers as COLOR (type-2) PNGs with the luma-preserving
+    # tint — real manga covers are color even for grayscale interiors.
+    color_covers: bool = False
 
 
 def _doc_rng(spec: CorpusSpec, doc_idx: int) -> np.random.Generator:
@@ -365,7 +368,12 @@ def _generate_doc(spec: CorpusSpec, di: int) -> tuple[dict, list, list, list]:
     if spec.p_cover > 0 and rng.random() < spec.p_cover:
         cover_img, _ = _render_page(rng, spec)
         cover_img = np.kron(cover_img, np.ones((2, 2), dtype=np.uint8))
-        cpng = encode_gray_png(cover_img)
+        if spec.color_covers:
+            from .png import encode_rgb_png
+
+            cpng = encode_rgb_png(_tint_rgb(cover_img))
+        else:
+            cpng = encode_gray_png(cover_img)
         media_rows.append(
             {
                 "media_ref": f"{doc_id}#capa",

@@ -67,6 +67,22 @@ def decode_gray_png(data: bytes) -> np.ndarray:
     color inputs are converted with the same BT.601 luminance rounding
     as the reference's cv2 grayscale() (K3); alpha is ignored (the
     reference reads via cv2.imread which drops it)."""
+    return _to_gray(*_decode_png_pixels(data))
+
+
+def decode_rgb_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 (h, w, 3) RGB: grayscale replicated across
+    channels, alpha dropped (cv2.imread default behavior)."""
+    px, ctype = _decode_png_pixels(data)
+    if ctype in (0, 4):
+        g = px[:, :, 0]
+        return np.stack([g, g, g], axis=-1)
+    return px[:, :, :3].copy()
+
+
+def _decode_png_pixels(data: bytes) -> tuple[np.ndarray, int]:
+    """Shared chunk walk + unfilter: returns ((h, w, nch) uint8, color
+    type)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -94,7 +110,7 @@ def decode_gray_png(data: bytes) -> np.ndarray:
     filters = raw[:, 0]
     out = raw[:, 1:].astype(np.uint8).copy()
     if (filters == 0).all():
-        return _to_gray(out.reshape(h, w, nch), ctype)
+        return out.reshape(h, w, nch), ctype
     # General unfiltering (row-sequential; only needed for foreign
     # files). PNG filters predict per BYTE with lag = bytes-per-pixel.
     bpp = nch
@@ -123,7 +139,7 @@ def decode_gray_png(data: bytes) -> np.ndarray:
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
             acc[x] = (row[x] + pred) % 256
         out[y] = acc.astype(np.uint8)
-    return _to_gray(out.reshape(h, w, nch), ctype)
+    return out.reshape(h, w, nch), ctype
 
 
 def _to_gray(px: np.ndarray, ctype: int) -> np.ndarray:

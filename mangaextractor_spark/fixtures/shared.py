@@ -18,7 +18,9 @@ import tempfile
 
 # Version the filename with the generation params: changing the spec
 # below must never silently reuse a stale file.
-_SPEC = dict(n_docs=12, seed=42, p_jpeg=0.5, p_color_jpeg=0.5, p_cover=0.75)
+_SPEC = dict(
+    n_docs=12, seed=42, p_jpeg=0.5, p_color_jpeg=0.5, p_cover=0.75, color_covers=True
+)
 FIXTURE_DIR = os.environ.get(
     "SPARK_GRAFT_FIXTURE_DIR", os.path.join(tempfile.gettempdir(), "mangaextractor_spark_fixtures")
 )

@@ -52,23 +52,25 @@ def cover_candidates(media: DataFrame) -> DataFrame:
 
 def covers(media: DataFrame, max_side: int = COVER_MAX_SIDE) -> DataFrame:
     """One cover row per document: first capa file per doc (min
-    media_ref), thumbnailed to <= max_side and re-encoded as baseline
-    JPEG (the reference saves capa.jpg)."""
+    media_ref), thumbnailed to <= max_side and re-encoded as a COLOR
+    baseline JPEG — the reference converts covers to RGB and saves jpg
+    (PIL thumbnail + convert('RGB'), core/processor.py:219-233), and
+    real covers are color even when pages are grayscale."""
     cand = cover_candidates(media)
     w = W.partitionBy("doc_id").orderBy("media_ref")
     first = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..fixtures.jpeg import encode_gray_jpeg
+        from ..fixtures.jpeg import encode_color_jpeg
         from ..functions.multimodal import block_average_downscale
-        from ..sources.decode import decode_gray_image
+        from ..sources.decode import decode_rgb_image
 
         for pdf in batches:
             rows = []
             for doc_id, ref, b in zip(pdf["doc_id"], pdf["media_ref"], pdf["image_bytes"]):
                 fname = ref.rsplit("/", 1)[-1]
                 try:
-                    img = decode_gray_image(bytes(b))
+                    img = decode_rgb_image(bytes(b))
                     thumb = block_average_downscale(img, max_side)
                 except (ValueError, KeyError, IndexError, struct.error):
                     # Failure-marker row (mirrors pipeline/extract.py's
@@ -82,7 +84,7 @@ def covers(media: DataFrame, max_side: int = COVER_MAX_SIDE) -> DataFrame:
                         ref,
                         fname,
                         "jpg",
-                        encode_gray_jpeg(thumb, quality=90),
+                        encode_color_jpeg(thumb, quality=90, subsampling="420"),
                         img.shape[1],
                         img.shape[0],
                         thumb.shape[1],

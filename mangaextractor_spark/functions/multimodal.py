@@ -94,14 +94,17 @@ def media_metadata(media: DataFrame, hex_hash: bool = False) -> DataFrame:
 def block_average_downscale(img: np.ndarray, max_side: int) -> np.ndarray:
     """Integer block-average downscale (area interpolation, the same
     family as the reference's INTER_AREA resize at segmentation.py:35-42
-    and PIL thumbnail P8)."""
-    h, w = img.shape
+    and PIL thumbnail P8). Accepts (h, w) grayscale or (h, w, 3) color
+    (channel-wise means)."""
+    h, w = img.shape[:2]
     f = max(1, -(-max(h, w) // max_side))  # ceil division
     th, tw = h // f, w // f
     cropped = img[: th * f, : tw * f].astype(np.float64)
-    return (
-        cropped.reshape(th, f, tw, f).mean(axis=(1, 3)).round().clip(0, 255).astype(np.uint8)
-    )
+    if img.ndim == 3:
+        blocks = cropped.reshape(th, f, tw, f, img.shape[2]).mean(axis=(1, 3))
+    else:
+        blocks = cropped.reshape(th, f, tw, f).mean(axis=(1, 3))
+    return blocks.round().clip(0, 255).astype(np.uint8)
 
 
 def thumbnails(media: DataFrame, max_side: int = 154) -> DataFrame:

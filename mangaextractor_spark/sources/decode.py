@@ -30,6 +30,22 @@ def decode_gray_image(b: bytes) -> np.ndarray:
     raise ValueError("unsupported image format (not PNG or JPEG)")
 
 
+def decode_rgb_image(b: bytes) -> np.ndarray:
+    """Encoded bytes (PNG or JPEG, gray or color) -> uint8 (h, w, 3)
+    RGB; grayscale sources replicate across channels. The cover
+    pipeline uses this (the reference saves COLOR cover thumbnails,
+    core/processor.py:219-233: PIL RGB convert + jpg save)."""
+    if b[:8] == PNG_SIG:
+        from ..fixtures.png import decode_rgb_png
+
+        return decode_rgb_png(b)
+    if b[:2] == JPEG_SIG:
+        from ..fixtures.jpeg import decode_rgb_jpeg
+
+        return decode_rgb_jpeg(b)
+    raise ValueError("unsupported image format (not PNG or JPEG)")
+
+
 def jpeg_dimensions(b: bytes) -> tuple[int, int, int, int] | None:
     """(width, height, precision, n_components) from a JPEG's SOF
     segment, else None. Walks the segment chain — a few dozen bytes of

@@ -76,3 +76,30 @@ def test_upsert_covers_merge_semantics(spark, cover_corpus):
     assert merged.count() == n
     key = incoming.first().doc_id
     assert merged.filter(f"doc_id = '{key}'").first().file_name == "new.jpg"
+
+
+def test_color_cover_thumbnails(spark):
+    """Color (type-2 PNG) capa sources produce COLOR 4:2:0 JPEG
+    thumbnails (3-component SOF) whose pixels match the channel-wise
+    block-average downscale — the reference's PIL RGB-convert + jpg
+    save (processor.py:219-233)."""
+    from mangaextractor_spark.sources.decode import decode_rgb_image, jpeg_dimensions
+
+    corpus = generate_corpus(
+        CorpusSpec(n_docs=8, seed=42, p_cover=0.9, color_covers=True)
+    )
+    media = media_to_spark(spark, corpus["media"])
+    rows = covers(media).collect()
+    assert rows
+    capa = (
+        corpus["media"][corpus["media"]["media_ref"].str.contains("#capa")]
+        .set_index("media_ref")
+    )
+    for r in rows:
+        dims = jpeg_dimensions(bytes(r.cover_bytes))
+        assert dims is not None and dims[3] == 3  # 3-component thumbnail
+        src = decode_rgb_image(bytes(capa.loc[r.media_ref]["image_bytes"]))
+        expected = block_average_downscale(src, 616)
+        got = decode_rgb_image(bytes(r.cover_bytes))
+        assert got.shape == expected.shape == (r.thumb_h, r.thumb_w, 3)
+        assert np.abs(got.astype(int) - expected.astype(int)).mean() < 6.0
