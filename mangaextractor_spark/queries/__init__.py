@@ -50,6 +50,7 @@ def _load_all() -> None:
         multimodal_queries,
         parsing_queries,
         relational,
+        search,
         similarity,
         textops,
     )

@@ -1,0 +1,167 @@
+"""Lexical retrieval over the corpus: BM25-family top-k search.
+
+The missing retrieval leg next to the embedding ANN operators
+(queries/similarity.py): score documents against a fixed keyword query
+set with the BM25 weighting shape and return the top-k per query.
+
+Scale story (100 TB): one corpus scan computes (doc, term, tf, dl)
+PRUNED to the query vocabulary by a broadcast semi-join before any
+shuffle (the posting build only shuffles rows that mention a query
+term); corpus stats (N, total tokens) are a one-row aggregate
+broadcast back; document frequencies reduce over the pruned postings.
+No stage is ever keyed on doc alone, so a hot document cannot skew the
+posting shuffle. The fixed query table is the broadcast side of every
+join.
+
+Cross-engine determinism: the scoring uses ONLY correctly-rounded
+IEEE-754 primitives (+ - * /) over exactly-representable operands, in
+the same expression-tree order on both engines, and per-document
+contributions are folded in sorted-term order (Spark ``aggregate``
+over an ``array_sort``-ed list == DuckDB ``list_reduce`` over
+``list(... ORDER BY term)``; the fold's 0.0 seed is exact for
+positive addends). The classic BM25 ln() idf is therefore replaced by
+its log-free rational core idf = (N - df + 0.5)/(df + 0.5) —
+transcendental libm calls are the one place Spark's JVM and DuckDB's
+libm may differ by an ulp, which would break the driver's value-hash;
+the rational idf keeps the same rare-term-heavy monotone ordering per
+term and every arithmetic step bit-identical. k1 = 1.25 and b = 0.75
+are exact binary fractions for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..session import load_table, spread
+from . import register
+from ._portable import WORDS_SQL, words_col
+
+K1 = 1.25  # exact in binary (5/4); classic default 1.2 is NOT exact
+B = 0.75  # exact in binary
+TOP_K = 10
+
+# Fixed benchmark query set (terms drawn from the synthetic corpus
+# vocabulary). Literal in both engines.
+QUERIES: list[tuple[str, str]] = [
+    ("q1", "hash join"),
+    ("q2", "window agg order"),
+    ("q3", "fast scan filter"),
+    ("q4", "customer stream"),
+    ("q5", "vector batch merge"),
+]
+
+_QTERMS: list[tuple[str, str]] = sorted(
+    {(qid, t) for qid, text in QUERIES for t in text.split()}
+)
+
+_Q_VALUES = ", ".join(f"('{qid}', '{t}')" for qid, t in _QTERMS)
+
+_WS = WORDS_SQL.format(t="text")
+
+_BM25_SQL = f"""
+WITH q(query_id, term) AS (VALUES {_Q_VALUES}),
+qt AS (SELECT DISTINCT term FROM q),
+base AS (SELECT doc_id, {_WS} AS ws FROM documents),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(len(ws)) AS total_tokens FROM base
+),
+flat AS (
+  SELECT b.doc_id, len(b.ws) AS dl, u.term
+  FROM base b, UNNEST(b.ws) AS u(term)
+  WHERE u.term IN (SELECT term FROM qt)
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+),
+tfdf AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf
+),
+scored AS (
+  SELECT q.query_id, t.doc_id, q.term,
+    ((CAST(c.n_docs - t.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       / (CAST(t.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+    * ((CAST(t.tf AS DOUBLE) * CAST(2.25 AS DOUBLE))
+       / (CAST(t.tf AS DOUBLE)
+          + CAST(1.25 AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE)
+                 * (CAST(t.dl * c.n_docs AS DOUBLE)
+                    / CAST(c.total_tokens AS DOUBLE))))) AS contrib
+  FROM q
+  JOIN tfdf t USING (term)
+  CROSS JOIN corpus c
+),
+agg AS (
+  SELECT query_id, doc_id,
+         list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS score
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+  FROM agg
+)
+SELECT query_id, doc_id, score, CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+@register(
+    "bm25_topk",
+    _BM25_SQL,
+    doc="BM25-family lexical top-k retrieval: broadcast query "
+    "vocabulary prunes the posting build before its only shuffle; "
+    "one-row corpus stats broadcast back; log-free rational idf keeps "
+    "every arithmetic op a correctly-rounded IEEE primitive so the "
+    "DuckDB oracle is bit-exact (sorted-term fold on both engines).",
+    tags=("text", "search"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d.select("doc_id", words_col(F.col("text")).alias("ws")))
+    corpus = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("ws")).alias("total_tokens")
+    )
+    qterms = spark.createDataFrame(_QTERMS, "query_id string, term string")
+    qt = qterms.select("term").distinct()
+    flat = (
+        base.withColumn("dl", F.size("ws"))
+        .select("doc_id", "dl", F.explode("ws").alias("term"))
+        .join(F.broadcast(qt), "term")
+    )
+    tf = flat.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df as a WINDOW over tf, not a grouped-join-back: broadcasting a
+    # derived dft table re-executes the whole tf subtree per broadcast
+    # build (measured round-2 lesson); the window keeps one lineage.
+    tfdf = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    half = F.lit(0.5)
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + half) / (
+        F.col("df").cast("double") + half
+    )
+    r = (F.col("dl") * F.col("n_docs")).cast("double") / F.col("total_tokens").cast(
+        "double"
+    )
+    contrib = idf * (
+        (F.col("tf").cast("double") * F.lit(2.25))
+        / (F.col("tf").cast("double") + F.lit(1.25) * (F.lit(0.25) + F.lit(0.75) * r))
+    )
+    scored = (
+        tfdf.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select("query_id", "doc_id", "term", contrib.alias("contrib"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("cs")
+    )
+    score = F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["contrib"])
+    ranked = agg.select("query_id", "doc_id", score.alias("score")).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+    )
