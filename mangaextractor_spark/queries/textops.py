@@ -278,3 +278,36 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang, {phash60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+@register(
+    "train_val_split",
+    _SPLIT_SQL,
+    doc="Deterministic 90/5/5 train/val/test assignment by hash bucket "
+    "of the doc id (the split every training-data pipeline needs): "
+    "stable across runs and engines (portable 60-bit md5 hash), "
+    "map-side only — a 100 TB corpus is split in a single scan with "
+    "zero shuffles, and membership is recomputable for any row "
+    "without a lookup table.",
+    tags=("text", "pipeline"),
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(phash60(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))

@@ -122,3 +122,52 @@ def test_running_totals_accumulate_across_restarts(spark, tmp_path):
     assert got[7] == (3, 10.0)  # cumulative across the restart
     assert got[8] == (1, 10.0)
     assert got[9] == (1, 1.0)
+
+
+def test_stream_dedup_drops_replayed_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: an at-least-once source replays
+    events (same event_id, possibly in a later file/micro-batch within
+    the watermark); the deduped output carries each event_id once and
+    equals the batch dropDuplicates twin."""
+    from mangaextractor_spark.streaming.dedup import stream_dedup_events
+
+    src = tmp_path / "ev"
+    rows = [
+        (1, _mins(0), 1, "view", 1.0, "{}"),
+        (2, _mins(1), 2, "view", 2.0, "{}"),
+        (2, _mins(1), 2, "view", 2.0, "{}"),  # same-file duplicate
+        (3, _mins(2), 1, "buy", 10.0, "{}"),
+    ]
+    _write_events(src, rows)
+    # replayed delivery of ids 1 and 3 in a SECOND file (same event time,
+    # well within the watermark) + one genuinely new event
+    _write_events(
+        src,
+        [
+            (1, _mins(0), 1, "view", 1.0, "{}"),
+            (3, _mins(2), 1, "buy", 10.0, "{}"),
+            (4, _mins(3), 3, "view", 3.0, "{}"),
+        ],
+        fname="replay.parquet",
+    )
+    q = stream_dedup_events(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    ids = sorted(r.event_id for r in out)
+    assert ids == [1, 2, 3, 4]  # each exactly once despite replays
+    batch = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                rows + [(4, _mins(3), 3, "view", 3.0, "{}")],
+                columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+            )
+        )
+        .dropDuplicates(["event_id"])
+        .collect()
+    )
+    assert sorted((r.event_id, r.value) for r in out) == sorted(
+        (r.event_id, r.value) for r in batch
+    )
