@@ -472,6 +472,15 @@ def _parse_jpeg(b: bytes):
     where ``scomps`` is [(comp_index, dc_tbl|None, ac_tbl|None)] with
     the Huffman-table state at that point (progressive files redefine
     DHT between scans)."""
+    try:
+        return _parse_jpeg_inner(b)
+    except (struct.error, IndexError) as e:
+        # truncated segment/header reads stay inside the documented
+        # UnsupportedJpegError gating contract
+        raise UnsupportedJpegError(f"truncated or malformed JPEG stream: {e}") from e
+
+
+def _parse_jpeg_inner(b: bytes):
     if b[:2] != b"\xff\xd8":
         raise UnsupportedJpegError("not a JPEG (no SOI)")
     qtables: dict[int, np.ndarray] = {}

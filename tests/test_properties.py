@@ -170,3 +170,45 @@ def test_pdf_text_roundtrip(lines):
     from mangaextractor_spark.fixtures.pdf import build_simple_pdf, extract_pdf_text
 
     assert extract_pdf_text(build_simple_pdf(lines)) == " ".join(lines)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(8, 40), st.integers(8, 40), st.just(3))),
+    st.sampled_from(["444", "422", "440", "420"]),
+    st.booleans(),
+)
+def test_color_jpeg_roundtrip_properties(rgb, sub, progressive):
+    """Any RGB image, any subsampling, baseline or progressive: decode
+    preserves shape; the gray decode equals the Y plane the encoder
+    computed (within quantization error); progressive and baseline
+    layouts of the same coefficients decode byte-identically."""
+    from mangaextractor_spark.fixtures.jpeg import (
+        decode_gray_jpeg,
+        decode_rgb_jpeg,
+        encode_color_jpeg,
+    )
+
+    b = encode_color_jpeg(rgb, quality=92, subsampling=sub, progressive=progressive)
+    back = decode_rgb_jpeg(b)
+    assert back.shape == rgb.shape
+    g = decode_gray_jpeg(b)
+    luma = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    assert np.abs(g.astype(np.float64) - luma).max() <= 64
+    other = encode_color_jpeg(rgb, quality=92, subsampling=sub, progressive=not progressive)
+    assert (decode_rgb_jpeg(other) == back).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_jpeg_decoder_garbage_raises_domain_errors(data):
+    """Arbitrary bytes never escape the documented gating contract:
+    decode either succeeds or raises UnsupportedJpegError/ValueError —
+    no TypeError/KeyError/ZeroDivisionError/IndexError leaks."""
+    from mangaextractor_spark.fixtures.jpeg import UnsupportedJpegError, decode_gray_jpeg
+
+    blob = b"\xff\xd8" + data  # force the SOI path deeper than the sig check
+    try:
+        decode_gray_jpeg(blob)
+    except UnsupportedJpegError:
+        pass  # the only permitted failure mode
