@@ -471,3 +471,60 @@ def connected_components(pairs: DataFrame, max_rounds: int = 64):
         )
     )
     return labels, rounds
+
+
+NGRAM_K = 8  # token 8-grams: the substring-repetition unit
+
+
+@register(
+    "repeated_ngram_stats",
+    f"""
+WITH w AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         {phash60_sql("array_to_string(ws[i : i + " + str(NGRAM_K - 1) + "], ' ')")} AS h
+  FROM w, UNNEST(generate_series(1, len(ws) - {NGRAM_K - 1})) AS t(i)
+  WHERE len(ws) >= {NGRAM_K}
+),
+gd AS (SELECT h, doc_id, COUNT(*) AS n_pos FROM g GROUP BY 1, 2),
+gdf AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS df FROM gd)
+SELECT doc_id,
+       CAST(SUM(n_pos) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df >= 2 THEN n_pos ELSE 0 END) AS BIGINT) AS n_repeated,
+       CAST(SUM(CASE WHEN df >= 2 THEN n_pos ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n_pos) AS DOUBLE) AS repeated_frac
+FROM gdf GROUP BY doc_id ORDER BY doc_id
+""",
+    doc=f"Substring-level repetition signal (the training-data "
+    f"contamination measure of suffix-array dedup, approximated at "
+    f"token {NGRAM_K}-gram granularity): per document, how many of its "
+    f"token {NGRAM_K}-grams also occur in ANOTHER document. One corpus "
+    "scan builds positional gram hashes; document frequency comes from "
+    "a window over the (gram, doc) level — no joined-back dimension "
+    "table, so the gram pipeline executes once; the rollup is one "
+    "doc-keyed aggregation. Cross-engine exact: portable 60-bit gram "
+    "hashes and a single double division of exact counts.",
+    tags=("dedup", "text"),
+)
+def repeated_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ws = words_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - NGRAM_K),
+        lambda i: phash60(F.concat_ws(" ", F.slice("ws", i + 1, NGRAM_K))),
+    )
+    g = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= NGRAM_K)
+        .select("doc_id", F.explode(grams).alias("h"))
+    )
+    gd = g.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
+    gdf = gd.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("h")))
+    n_rep = F.sum(F.when(F.col("df") >= 2, F.col("n_pos")).otherwise(F.lit(0)))
+    return gdf.groupBy("doc_id").agg(
+        F.sum("n_pos").alias("n_grams"),
+        n_rep.alias("n_repeated"),
+        (n_rep.cast("double") / F.sum("n_pos").cast("double")).alias("repeated_frac"),
+    )
