@@ -11,7 +11,12 @@ term); corpus stats (N, total tokens) are a one-row aggregate
 broadcast back; document frequencies reduce over the pruned postings.
 No stage is ever keyed on doc alone, so a hot document cannot skew the
 posting shuffle. The fixed query table is the broadcast side of every
-join.
+join. Production knob not modeled here: a stopword list / impact-
+ordered (WAND-style) pruning caps the posting fan-out of corpus-
+frequent query terms — on THIS synthetic corpus (a ~30-word
+vocabulary where every term is in most documents) any df cap would
+degenerately empty the result, so common terms are handled the way
+plain BM25 does, by their near-zero idf weight.
 
 Cross-engine determinism: the scoring uses ONLY correctly-rounded
 IEEE-754 primitives (+ - * /) over exactly-representable operands, in
