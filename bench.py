@@ -44,6 +44,9 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash",
+    "dedup_clusters",
+    "repeated_ngram_stats",
+    "bm25_topk",
     "doc_fingerprint",
     "embedding_topk",
     "lsh_ann_topk",
