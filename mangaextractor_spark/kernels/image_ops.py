@@ -568,12 +568,25 @@ def segment_into_lines(mask: np.ndarray, axis: int, threshold: int = 1) -> list[
 
 def text_like_stats(region: np.ndarray) -> dict:
     """K14 heuristics over a candidate text region (bool ink mask):
-    component count, mean dims, aspect, vertical spacing variance."""
+    component count, mean dims, aspect, vertical spacing variance.
+
+    Character-size means exclude pixel-scale debris (sqrt bbox area
+    <= 2, i.e. at most ~2x2 fragments) — the kernel-level analog of
+    the reference's K7 noise band (average_size keeps CCs in (3,100)
+    px, utils/helpers.py:187-206). Without the floor, a few 1-px
+    fragments chipped off glyphs by cleaning on a noisy scan drag the
+    mean character size under MIN_TEXT_SIZE and a real text block gets
+    rejected (observed on speckled ruby columns); the floor is kept at
+    the debris scale only, so multi-pixel non-text fragments (border
+    remnants) still count against a region's character-size means."""
     stats = label_components(region)
     if stats.n == 0:
         return {"n_cc": 0, "mean_w": 0.0, "mean_h": 0.0, "aspect": 0.0, "vspace_var": 0.0}
     w = (stats.x2 - stats.x1).astype(np.float64)
     h = (stats.y2 - stats.y1).astype(np.float64)
+    sel = np.sqrt(stats.bbox_area().astype(np.float64)) > 2.0
+    if sel.any():
+        w, h = w[sel], h[sel]
     rows = segment_into_lines(region, axis=0)
     gaps = [b[0] - a[1] for a, b in zip(rows, rows[1:])]
     return {

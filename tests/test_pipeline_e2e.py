@@ -303,3 +303,48 @@ def test_extract_broadcast_meta_false_golden_and_plan(spark, corpus):
         assert "BroadcastExchange" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_kitchen_sink_everything_at_once(spark, tmp_path):
+    """Every axis simultaneously: vertical (tategaki) text WITH planted
+    furigana, off-white bubbles + speckle + border art (whiteness path
+    hostile), mixed PNG / gray-JPEG / color-JPEG pages, color covers —
+    through the CHUNKED lineage runner in robust mode with the vertical
+    engine, furigana stripping and cover commit. Output must equal the
+    generation golden exactly and the covers table must be populated."""
+    from mangaextractor_spark.fixtures.generator import CorpusSpec, generate_corpus
+    from mangaextractor_spark.pipeline.checkpoint import covers_completed, run_extraction
+
+    corpus = generate_corpus(
+        CorpusSpec(
+            n_docs=8,
+            seed=133,
+            vertical_text=True,
+            p_furigana=0.5,
+            bubble_fill=235,
+            p_speckle=0.05,
+            border_art=True,
+            p_jpeg=0.5,
+            p_color_jpeg=0.5,
+            p_cover=0.6,
+            color_covers=True,
+        )
+    )
+    blobs = [bytes(b) for b in corpus["media"]["image_bytes"]]
+    assert any(b[:2] == b"\xff\xd8" for b in blobs), "corpus must contain JPEG pages"
+    assert any(b"\xff\xc4\x00\x1f\x01" in b for b in blobs), "corpus must contain color JPEG"
+    docs = docs_to_spark(spark, corpus["documents"])
+    media = media_to_spark(spark, corpus["media"])
+    out = str(tmp_path / "sink")
+    result = run_extraction(
+        spark, docs, media, out, n_chunks=3,
+        engine="glyph_vertical", furigana=True, robust=True, include_covers=True,
+    )
+    golden = golden_to_spark(spark, corpus["golden_spans"])
+    key = ["doc_id", "kind", "text", "media_ref", "order"]
+    assert result.select(key).exceptAll(golden.select(key)).count() == 0
+    assert golden.select(key).exceptAll(result.select(key)).count() == 0
+    assert covers_completed(spark, out)
+    covers = spark.read.parquet(f"{out}/covers")
+    assert covers.count() > 0
+    assert covers.filter("cover_bytes IS NULL").count() == 0
