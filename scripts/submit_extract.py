@@ -54,6 +54,11 @@ def main() -> None:
         default="true",
         help="full K4-K15 cleaning ladder (default) vs whiteness-CC fast path",
     )
+    ap.add_argument(
+        "--covers",
+        default="false",
+        help="also run the S6 cover pipeline (capa staging + covers_done lineage)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -74,6 +79,7 @@ def main() -> None:
         engine=args.engine,
         furigana=args.furigana.lower() in ("1", "true", "yes"),
         robust=args.robust.lower() in ("1", "true", "yes"),
+        include_covers=args.covers.lower() in ("1", "true", "yes"),
     )
     n = result.count()
     print(f"extracted {n} spans -> {args.out}/spans")

@@ -121,3 +121,48 @@ def test_connected_components_log_rounds(spark):
     assert (got[ids] == "n0000").all()
     assert (got[["z1", "z2", "z3"]] == "z1").all()
     assert rounds <= 2 * math.ceil(math.log2(n)) + 2, rounds
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """large-star/small-star vs a plain union-find oracle on random
+    edge lists (multiple shapes: sparse forests, dense blobs, rings)."""
+    import numpy as np
+    import pandas as pd
+
+    from mangaextractor_spark.queries.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = int(rng.integers(10, 60))
+        m = int(rng.integers(1, n * 2))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        ids = [f"v{i:03d}" for i in range(n)]
+        pairs = pd.DataFrame(
+            {"a_id": [ids[i] for i in a], "b_id": [ids[i] for i in b]}
+        )
+        pairs = pairs[pairs.a_id != pairs.b_id]
+        if pairs.empty:
+            continue
+        labels, rounds = connected_components(spark.createDataFrame(pairs))
+        got = dict(labels.toPandas().values.tolist())
+        # union-find oracle
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for x, y in zip(a.tolist(), b.tolist()):
+            if x == y:
+                continue
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        want = {}
+        for i in range(n):
+            r = find(i)
+            if any((x == i and y != i) or (y == i and x != i) for x, y in zip(a.tolist(), b.tolist())):
+                want[ids[i]] = ids[min(j for j in range(n) if find(j) == r)]
+        assert got == want, (trial, rounds)
+        assert rounds <= 12
