@@ -205,7 +205,13 @@ def run_default(args) -> None:
 
 def run_extract_only(args) -> None:
     corpus_dir = args.corpus
-    if not corpus_dir or not (Path(corpus_dir) / ".complete-v2").exists():
+    if corpus_dir and not (Path(corpus_dir) / ".complete-v2").exists():
+        # never silently benchmark a DIFFERENT corpus than the one asked for
+        raise SystemExit(
+            f"--corpus {corpus_dir} has no .complete-v2 marker; "
+            "point at a directory materialized by this bench (or omit --corpus)"
+        )
+    if not corpus_dir:
         corpus_dir = _materialize_corpus(
             os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/spark_graft_bench_corpus"),
             args.docs,

@@ -713,7 +713,10 @@ def _decode_progressive(scans, components, mcux: int, mcuy: int) -> list[np.ndar
     bit per already-nonzero coefficient traversed."""
     zz = [[[0] * 64 for _ in range(c["gh"] * c["gw"])] for c in components]
     for ss, se, ah, al, scomps, restart, segments in scans:
-        if ss == 0 and se != 0 and len(scomps) > 1:
+        if ss != 0 and len(scomps) > 1:
+            # T.81 G.1: progressive AC scans are single-component; an
+            # interleaved one must be rejected, not decoded as if it
+            # were scomps[0]'s non-interleaved block order.
             raise UnsupportedJpegError("interleaved AC scan in progressive stream")
         if ss == 0:  # DC scan (first or refinement)
             tabs = _require_tables(scomps, ah == 0, False)

@@ -18,7 +18,6 @@ single mapInPandas pass over the winners.
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -72,7 +71,7 @@ def covers(media: DataFrame, max_side: int = COVER_MAX_SIDE) -> DataFrame:
                 try:
                     img = decode_rgb_image(bytes(b))
                     thumb = block_average_downscale(img, max_side)
-                except (ValueError, KeyError, IndexError, struct.error):
+                except Exception:  # noqa: BLE001 — any decode failure (incl. zlib.error)
                     # Failure-marker row (mirrors pipeline/extract.py's
                     # decode handling): one corrupt capa file must not
                     # fail the whole job.

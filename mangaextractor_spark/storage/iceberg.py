@@ -27,9 +27,13 @@ from pyspark.sql import functions as F
 
 def catalog_names(spark: SparkSession) -> list[str]:
     """Names of configured Spark v2 catalogs (``spark.sql.catalog.X``
-    keys). Empty in this sandbox — the availability gate."""
+    keys). Empty in this sandbox — the availability gate. Reads the
+    RUNTIME SQL conf (``SET``) rather than the SparkContext's static
+    SparkConf, so catalogs registered after session start via
+    ``spark.conf.set`` are seen too."""
     names = set()
-    for k, _ in spark.sparkContext.getConf().getAll():
+    for row in spark.sql("SET").collect():
+        k = row["key"]
         parts = k.split(".")
         if len(parts) == 4 and k.startswith("spark.sql.catalog."):
             names.add(parts[3])
@@ -81,6 +85,16 @@ def upsert(
     directory, committed by directory swap — the same two-phase shape
     as an Iceberg snapshot commit (write new data files, then one
     atomic metadata pointer move)."""
+    # MERGE INTO errors when one target row matches multiple source
+    # rows; enforce the same contract on BOTH paths so the fallback
+    # cannot silently insert duplicate keys where the catalog path
+    # would have raised.
+    dup = updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"updates contain duplicate merge keys (e.g. {tuple(dup[0])[:-1]}); "
+            "MERGE semantics require one source row per key"
+        )
     if iceberg_available(spark):
         view = f"_updates_{uuid.uuid4().hex[:8]}"
         updates.createOrReplaceTempView(view)
@@ -89,6 +103,20 @@ def upsert(
     if fallback_dir is None:
         raise ValueError("no catalog configured and no fallback_dir given")
     out = Path(fallback_dir)
+    leftovers = [
+        str(p)
+        for p in out.parent.glob(out.name + "__*")
+        if p.is_dir()
+    ] if out.parent.exists() else []
+    if leftovers:
+        # A crash between the swap renames strands data in __old_* /
+        # __commit_* siblings; rebuilding from scratch here would
+        # silently drop every previously-upserted row. Refuse and let
+        # the operator recover (rename the __old_* dir back).
+        raise ValueError(
+            f"interrupted upsert detected at {fallback_dir}: leftover "
+            f"swap directories {leftovers}; restore or remove them first"
+        )
     if (out / "_SUCCESS").exists():
         existing = spark.read.parquet(fallback_dir)
         merged = existing.join(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from .windowed import EVENTS_SCHEMA, _events_stream
+from .windowed import _events_stream
 
 
 def deduped_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

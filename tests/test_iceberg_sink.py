@@ -75,3 +75,58 @@ def test_bucket_partitioned_path_fallback(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 200
     assert back.select("_bucket").distinct().count() == 8
+
+
+def test_upsert_rejects_duplicate_merge_keys(spark, tmp_path):
+    """MERGE INTO errors on multiple source matches per target row; the
+    fallback must enforce the same contract instead of silently
+    inserting duplicates."""
+    import pandas as pd
+
+    dup = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "v": ["a", "b"]}))
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        upsert(spark, "ignored.tbl", dup, ["k"], fallback_dir=str(tmp_path / "t"))
+
+
+def test_upsert_refuses_interrupted_swap(spark, tmp_path):
+    """Leftover __old_*/__commit_* swap dirs mean a prior upsert died
+    mid-swap; rebuilding would drop every previously-upserted row, so
+    the call must refuse."""
+    import pandas as pd
+
+    tgt = tmp_path / "orders"
+    base = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]}))
+    upsert(spark, "ignored.tbl", base, ["k"], fallback_dir=str(tgt))
+    (tmp_path / "orders__old_dead").mkdir()
+    with pytest.raises(ValueError, match="interrupted upsert"):
+        upsert(spark, "ignored.tbl", base, ["k"], fallback_dir=str(tgt))
+
+
+def test_corrupt_png_cover_is_marker_row_not_crash(spark):
+    """zlib-level corruption (valid PNG header, broken IDAT) must become
+    a failure-marker cover row, not a job failure."""
+    import numpy as np
+    import pandas as pd
+
+    from mangaextractor_spark.fixtures.png import encode_gray_png
+    from mangaextractor_spark.functions.covers import covers
+    from mangaextractor_spark.fixtures.spark_io import media_to_spark
+
+    good = encode_gray_png(np.full((40, 30), 200, dtype=np.uint8))
+    corrupt = bytearray(good)
+    corrupt[40:60] = b"\x00" * 20  # wreck the IDAT payload
+    media = media_to_spark(
+        spark,
+        pd.DataFrame(
+            [
+                {"media_ref": "A/capa/ok.png", "image_bytes": bytes(good),
+                 "width": 30, "height": 40, "page_md5": "x"},
+                {"media_ref": "B/capa/bad.png", "image_bytes": bytes(corrupt),
+                 "width": 30, "height": 40, "page_md5": "y"},
+            ]
+        ),
+    )
+    rows = {r.doc_id: r for r in covers(media).collect()}
+    assert rows["A"].cover_bytes is not None
+    assert rows["B"].cover_bytes is None  # marker row, job survived
+    assert (rows["B"].orig_w, rows["B"].thumb_w) == (0, 0)

@@ -247,3 +247,20 @@ def test_mixed_format_corpus_end_to_end(spark):
         result = extract_spans(docs, media, robust=robust)
         assert result.select(key).exceptAll(golden.select(key)).count() == 0, robust
         assert golden.select(key).exceptAll(result.select(key)).count() == 0, robust
+
+
+def test_rejects_interleaved_progressive_ac_scan():
+    """T.81 G.1: progressive AC scans are single-component; an
+    interleaved one must raise, not decode as scomps[0]'s block order."""
+    from mangaextractor_spark.fixtures.jpeg import (
+        AC_BITS,
+        AC_VALS,
+        _decode_progressive,
+    )
+
+    comp = {"id": 1, "h": 1, "v": 1, "gw": 1, "gh": 1, "nw": 1, "nh": 1}
+    comp2 = dict(comp, id=2)
+    tbl = (tuple(AC_BITS), tuple(AC_VALS))
+    scan = (1, 63, 0, 0, [(0, None, tbl), (1, None, tbl)], 0, [b"\x00"])
+    with pytest.raises(UnsupportedJpegError, match="interleaved AC"):
+        _decode_progressive([scan], [comp, comp2], 1, 1)
