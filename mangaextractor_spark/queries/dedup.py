@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..session import load_table, spread
 from . import register
 from ._portable import phash60, phash60_sql, shingles3, shingles_sql, words_col
+from ._scale_notes import POSTING_CAP, REPEATED_MIN_DF
 
 N_PERMS = 8
 BAND_SIZE = 4  # => 2 bands
@@ -88,7 +89,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-POSTING_CAP = 64  # stop-shingle rule: df > CAP => shingle carries no near-dup signal
+# POSTING_CAP (stop-shingle rule: df > CAP => shingle carries no
+# near-dup signal) now lives in queries/_scale_notes.py with the rest
+# of the hot-key knobs.
 
 
 @register(
@@ -409,8 +412,14 @@ def connected_components(pairs: DataFrame, max_rounds: int = 64):
     by alternating large-star/small-star; returns
     ``(labels_df(doc_id, cluster_id), n_rounds)`` with cluster_id = the
     component's minimum doc_id. O(log n) rounds; each round is two
-    shuffles on the EDGE set (not the corpus) plus an O(1)-row
-    convergence probe, lineage truncated via localCheckpoint.
+    shuffles on the EDGE set (not the corpus) plus ONE O(1)-row
+    convergence probe — a (count, xor-of-row-hashes) aggregate; equal
+    probes are confirmed exactly (``exceptAll``) once before breaking,
+    so a hash collision can cost a round but never wrong labels.
+    Lineage truncated via localCheckpoint. Raises ``RuntimeError`` if
+    ``max_rounds`` is exhausted before the star-forest fixed point is
+    verified — silently returning labels from a non-converged edge set
+    would be wrong with no error.
 
     Large-star: every neighbor v > u is re-pointed at m(u) = min of
     u's closed neighborhood. Small-star: on the larger->smaller
@@ -432,8 +441,18 @@ def connected_components(pairs: DataFrame, max_rounds: int = 64):
         .distinct()
         .localCheckpoint()
     )
-    n_edges = e.count()
+    def probe(df: DataFrame):
+        # count + order-insensitive content hash in ONE action (rows
+        # are distinct, so xor over per-row xxhash64 is a set hash).
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("hi", "lo")).alias("hx"),
+        ).first()
+        return r["n"], r["hx"]
+
+    n_edges, e_hash = probe(e)
     rounds = 0
+    converged = n_edges == 0
     while n_edges and rounds < max_rounds:
         rounds += 1
         # ---- large-star over the symmetric view
@@ -458,11 +477,21 @@ def connected_components(pairs: DataFrame, max_rounds: int = 64):
             .distinct()
             .localCheckpoint()
         )
-        ss_count = ss.count()
-        if ss_count == n_edges and ss.exceptAll(e).isEmpty():
+        ss_n, ss_hash = probe(ss)
+        if ss_n == n_edges and ss_hash == e_hash and ss.exceptAll(e).isEmpty():
             e = ss
+            converged = True
             break
-        e, n_edges = ss, ss_count
+        e, n_edges, e_hash = ss, ss_n, ss_hash
+        if n_edges == 0:
+            converged = True  # empty edge set: trivially a fixed point
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds: the edge set is not a verified star forest, so the "
+            "labels would be wrong; raise max_rounds (rounds needed is "
+            "O(log n_nodes))"
+        )
     # star forest -> labels; roots (never a 'hi') label themselves
     lab = e.groupBy(F.col("hi").alias("doc_id")).agg(F.min("lo").alias("cluster_id"))
     labels = lab.unionByName(
@@ -487,28 +516,28 @@ g AS (
   WHERE len(ws) >= {NGRAM_K}
 ),
 gd AS (SELECT h, doc_id, COUNT(*) AS n_pos FROM g GROUP BY 1, 2),
-gdf AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS df FROM gd)
+rep AS (SELECT h, COUNT(*) >= 2 AS is_rep FROM gd GROUP BY 1)
 SELECT doc_id,
        CAST(SUM(n_pos) AS BIGINT) AS n_grams,
-       CAST(SUM(CASE WHEN df >= 2 THEN n_pos ELSE 0 END) AS BIGINT) AS n_repeated,
-       CAST(SUM(CASE WHEN df >= 2 THEN n_pos ELSE 0 END) AS DOUBLE)
+       CAST(SUM(CASE WHEN is_rep THEN n_pos ELSE 0 END) AS BIGINT) AS n_repeated,
+       CAST(SUM(CASE WHEN is_rep THEN n_pos ELSE 0 END) AS DOUBLE)
          / CAST(SUM(n_pos) AS DOUBLE) AS repeated_frac
-FROM gdf GROUP BY doc_id ORDER BY doc_id
+FROM gd JOIN rep USING (h) GROUP BY doc_id ORDER BY doc_id
 """,
     doc=f"Substring-level repetition signal (the training-data "
     f"contamination measure of suffix-array dedup, approximated at "
     f"token {NGRAM_K}-gram granularity): per document, how many of its "
     f"token {NGRAM_K}-grams also occur in ANOTHER document. One corpus "
-    "scan builds positional gram hashes; document frequency comes from "
-    "a window over the (gram, doc) level — no joined-back dimension "
-    "table, so the gram pipeline executes once; the rollup is one "
-    "doc-keyed aggregation. Cross-engine exact: portable 60-bit gram "
-    "hashes and a single double division of exact counts.",
+    "scan builds positional gram hashes; the (gram, doc) level is "
+    "persisted and gram document-frequency is a real groupBy (map-side "
+    "combined) equi-joined back as a (h, is_rep) pair — AQE can "
+    "skew-split that exchange, while a window-over-h would pin every "
+    "posting of a viral boilerplate gram on one task "
+    "(queries/_scale_notes.py). Cross-engine exact: portable 60-bit "
+    "gram hashes and a single double division of exact counts.",
     tags=("dedup", "text"),
 )
 def repeated_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     d = spread(load_table(spark, sf_dir, "documents"))
     ws = words_col(F.col("text"))
     grams = F.transform(
@@ -520,9 +549,16 @@ def repeated_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= NGRAM_K)
         .select("doc_id", F.explode(grams).alias("h"))
     )
-    gd = g.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
-    gdf = gd.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("h")))
-    n_rep = F.sum(F.when(F.col("df") >= 2, F.col("n_pos")).otherwise(F.lit(0)))
+    # persist + groupBy + equi-join back, not a window over h: a viral
+    # boilerplate gram would otherwise pin one window partition on a
+    # single task (no partial agg, no AQE skew split). Only df >= 2 is
+    # consumed, so the join-back payload is the minimal (h, is_rep);
+    # the persist keeps the explode from running twice. See
+    # queries/_scale_notes.py (REPEATED_MIN_DF).
+    gd = g.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("n_pos")).persist()
+    rep = gd.groupBy("h").agg((F.count(F.lit(1)) >= REPEATED_MIN_DF).alias("is_rep"))
+    gdf = gd.join(rep, "h")
+    n_rep = F.sum(F.when(F.col("is_rep"), F.col("n_pos")).otherwise(F.lit(0)))
     return gdf.groupBy("doc_id").agg(
         F.sum("n_pos").alias("n_grams"),
         n_rep.alias("n_repeated"),

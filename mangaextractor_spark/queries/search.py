@@ -136,11 +136,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "dl", F.explode("ws").alias("term"))
         .join(F.broadcast(qt), "term")
     )
-    tf = flat.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df as a WINDOW over tf, not a grouped-join-back: broadcasting a
-    # derived dft table re-executes the whole tf subtree per broadcast
-    # build (measured round-2 lesson); the window keeps one lineage.
-    tfdf = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    # df via persist + groupBy + broadcast join-back, NEVER a window
+    # over `term`: a window carries every posting row of a term into
+    # ONE task (no partial aggregation, no AQE skew split) — with ~18
+    # query terms the whole pruned corpus would ride on <=18 tasks at
+    # scale. The persist stops the broadcast build from re-executing
+    # the tf subtree (round-2 lesson); the broadcast side is |vocab|
+    # rows. See queries/_scale_notes.py.
+    tf = flat.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfdf = tf.join(F.broadcast(dft), "term")
     half = F.lit(0.5)
     idf = ((F.col("n_docs") - F.col("df")).cast("double") + half) / (
         F.col("df").cast("double") + half

@@ -166,3 +166,58 @@ def test_connected_components_random_graphs_match_union_find(spark):
                 want[ids[i]] = ids[min(j for j in range(n) if find(j) == r)]
         assert got == want, (trial, rounds)
         assert rounds <= 12
+
+
+# ---- repeated_ngram_stats: viral boilerplate gram (round-3 item 2) ----
+
+BOILER = "b1 b2 b3 b4 b5 b6 b7 b8"  # exactly one token 8-gram
+N_BOILER_DOCS = 10
+
+
+@pytest.fixture(scope="module")
+def viral_gram_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("viralgram")
+    rows = [
+        # 3 grams each; gram #1 (the boilerplate) shared by all 10 docs
+        {"doc_id": f"boil{i:02d}", "text": f"{BOILER} u{i}a u{i}b"}
+        for i in range(N_BOILER_DOCS)
+    ]
+    # unique doc: nothing repeated across docs
+    rows.append({"doc_id": "uniq", "text": "x1 x2 x3 x4 x5 x6 x7 x8"})
+    # internal repetition only: same gram 3x within ONE doc -> df=1,
+    # must NOT count as repeated (the signal is cross-document)
+    rows.append({"doc_id": "selfrep", "text": "r r r r r r r r r r"})
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_viral_gram_stats_and_plan(spark, viral_gram_dir):
+    qd = REGISTRY["repeated_ngram_stats"]
+    df = qd.spark(spark, viral_gram_dir)
+
+    # Scale shape: gram df must be a groupBy + equi-join back (AQE can
+    # skew-split an equi-join exchange), never a window over h (pins a
+    # viral gram's postings on one task). No Window may appear at all.
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, f"window-over-h reintroduced:\n{plan}"
+
+    out = df.toPandas().set_index("doc_id")
+    for i in range(N_BOILER_DOCS):
+        r = out.loc[f"boil{i:02d}"]
+        assert (r.n_grams, r.n_repeated) == (3, 1)
+        assert r.repeated_frac == 1.0 / 3.0
+    assert (out.loc["uniq"].n_grams, out.loc["uniq"].n_repeated) == (1, 0)
+    # internal-only repetition is not cross-document repetition
+    assert (out.loc["selfrep"].n_grams, out.loc["selfrep"].n_repeated) == (3, 0)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{viral_gram_dir}/documents.parquet'"
+    )
+    odf = con.execute(qd.oracle).df().set_index("doc_id")
+    con.close()
+    for doc_id, r in out.iterrows():
+        o = odf.loc[doc_id]
+        assert (r.n_grams, r.n_repeated, r.repeated_frac) == (
+            o.n_grams, o.n_repeated, o.repeated_frac
+        ), doc_id

@@ -56,3 +56,18 @@ def test_bm25_oracle_parity_tiny(spark, tiny_corpus):
     got = sorted(map(tuple, sdf[["query_id", "doc_id", "score", "rank"]].values.tolist()))
     want = sorted(map(tuple, odf[["query_id", "doc_id", "score", "rank"]].values.tolist()))
     assert got == want  # bit-exact scores, not approx
+
+
+def test_bm25_df_is_not_a_window_over_term(spark, tiny_corpus):
+    """Round-3 verdict item 1: document frequency must come from a
+    groupBy + broadcast join-back, not Window.partitionBy(term) — a
+    window carries every posting of a term into one task (no partial
+    aggregation, no AQE skew split). The only Window left in the plan
+    is the final per-query row_number ranking."""
+    q = REGISTRY["bm25_topk"]
+    df = q.spark(spark, tiny_corpus)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(windows) == 1, f"expected exactly the rank window, got: {windows}"
+    assert "row_number" in windows[0]
+    assert "count" not in windows[0]  # df no longer rides a window
