@@ -92,6 +92,18 @@ def run_extraction(
     thumbnailed/upserted into ``{out_dir}/covers``, and committed under
     a ``covers_done`` lineage row (chunk = -1) that resume honors like
     any chunk.
+
+    Cover-failure contract (NO RETRY): a cover whose bytes fail to
+    decode is committed as a NULL-byte marker row and counted in the
+    ``covers_done`` lineage row's ``n_failed`` — a later resume does
+    NOT retry it, exactly as a failed page inside a committed OCR chunk
+    is not retried. This is deliberate: staged cover bytes are
+    immutable (re-decoding the same bytes fails the same way), so an
+    automatic retry loop could never terminate on a genuinely corrupt
+    cover. Transient-failure recovery is explicit instead: check
+    ``n_failed`` in the lineage table and rerun with a fresh
+    ``out_dir`` (or delete the ``covers_done`` row + ``covers/`` dir)
+    to force reprocessing.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     spans = docs.select("doc_id", F.explode("spans").alias("sp")).select(

@@ -9,8 +9,31 @@ golden fixture table (kind, text, media_ref, order equality).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import register
+
+
+def _with_span_digest(spans: DataFrame) -> DataFrame:
+    """Append a deterministic per-row digest so the driver's rows-only
+    check still carries a content signal: a kernel regression that
+    keeps the row COUNT stable still changes every row's digest (and
+    with it any recorded value-hash), instead of hiding behind the
+    count. ``\\x1f`` (unit separator) cannot appear in the span fields,
+    so the concat is injective."""
+    return spans.withColumn(
+        "span_digest",
+        F.md5(
+            F.concat_ws(
+                "",
+                "doc_id",
+                F.col("order").cast("string"),
+                "kind",
+                "text",
+                "media_ref",
+            ).cast("binary")
+        ),
+    )
 
 
 @register(
@@ -21,7 +44,8 @@ from . import register
     "JPEG pages): interleaved doc spans -> page decode (all codec "
     "variants) -> robust cleaning-ladder segmentation (K4-K15 "
     "composition, robust=True) -> OCR -> RTL/TTB ordering -> numbered "
-    "span table.",
+    "span table + per-row span_digest (md5 over every span field) so "
+    "the rows-only driver record still carries a content signal.",
     tags=("extraction", "pipeline"),
 )
 def extract_manga_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,7 +58,7 @@ def extract_manga_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = docs_to_spark(spark, corpus["documents"])
     media = media_to_spark(spark, corpus["media"])
-    return extract_spans(docs, media, robust=True)
+    return _with_span_digest(extract_spans(docs, media, robust=True))
 
 
 @register(
@@ -75,7 +99,8 @@ def media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Extraction pipeline in tategaki mode: vertical-text pages with "
     "planted furigana ruby columns (seed=44); ruby stripped (K18/K19) "
     "before the vertical glyph decode. Exact span equality vs the "
-    "generation golden is asserted in tests/test_pipeline_e2e.py.",
+    "generation golden is asserted in tests/test_pipeline_e2e.py; "
+    "per-row span_digest as in extract_manga_spans.",
     tags=("extraction", "pipeline"),
 )
 def extract_manga_spans_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,6 +113,6 @@ def extract_manga_spans_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = docs_to_spark(spark, corpus["documents"])
     media = media_to_spark(spark, corpus["media"])
-    return extract_spans(
-        docs, media, engine="glyph_vertical", furigana=True, robust=True
+    return _with_span_digest(
+        extract_spans(docs, media, engine="glyph_vertical", furigana=True, robust=True)
     )

@@ -98,7 +98,12 @@ def upsert(
     if iceberg_available(spark):
         view = f"_updates_{uuid.uuid4().hex[:8]}"
         updates.createOrReplaceTempView(view)
-        spark.sql(merge_into_sql(target, view, keys, updates.columns))
+        try:
+            spark.sql(merge_into_sql(target, view, keys, updates.columns))
+        finally:
+            # don't leak one per-call view registration per upsert in a
+            # long-lived session
+            spark.catalog.dropTempView(view)
         return spark.table(target)
     if fallback_dir is None:
         raise ValueError("no catalog configured and no fallback_dir given")
@@ -122,6 +127,18 @@ def upsert(
         merged = existing.join(
             updates.select(*keys).distinct(), keys, "left_anti"
         ).unionByName(updates)
+    elif out.exists() and any(out.rglob("*.parquet")):
+        # Parquet data with no _SUCCESS marker: either a half-written
+        # Spark commit or a directory written by a non-Spark tool
+        # (pyarrow writes no marker). Treating it as empty would
+        # silently DESTROY it in the swap below — refuse, like the
+        # leftover-swap guard.
+        raise ValueError(
+            f"{fallback_dir} contains parquet files but no _SUCCESS "
+            "marker; refusing to discard data this upsert did not "
+            "write. Remove the directory or add a _SUCCESS marker if "
+            "it is a complete dataset."
+        )
     else:
         merged = updates
     tmp = f"{fallback_dir}__commit_{uuid.uuid4().hex[:8]}"

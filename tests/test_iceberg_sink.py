@@ -130,3 +130,69 @@ def test_corrupt_png_cover_is_marker_row_not_crash(spark):
     assert rows["A"].cover_bytes is not None
     assert rows["B"].cover_bytes is None  # marker row, job survived
     assert (rows["B"].orig_w, rows["B"].thumb_w) == (0, 0)
+
+
+def test_merge_sql_parses_in_sparks_own_dialect(spark):
+    """Round-3 verdict item 5: the generated MERGE text had never been
+    parsed by any engine (the sandbox DuckDB, 1.0.0, predates MERGE
+    INTO support, and no Iceberg jars ship here). Spark's own SQL
+    parser IS the engine that will consume the string on a cluster —
+    assert it parses into a structured MergeIntoTable plan with exactly
+    the actions upsert relies on. Semantics parity of those actions vs
+    the fallback path is test_upsert_fallback_latest_wins plus the
+    merge_upsert_orders driver oracle."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    sql = merge_into_sql(
+        "wh.db.orders", "updates_v", ["o_orderkey"], ["o_orderkey", "o_totalprice", "o_comment"]
+    )
+    plan = parser.parsePlan(sql)
+    assert plan.getClass().getSimpleName() == "MergeIntoTable"
+    s = plan.toString()
+    # the ON condition, both non-key UPDATE assignments, the full-width
+    # INSERT, and both relations must survive parsing structurally
+    assert "'t.o_orderkey = 's.o_orderkey" in s
+    assert "assignment('t.o_totalprice, 's.o_totalprice)" in s
+    assert "assignment('t.o_comment, 's.o_comment)" in s
+    assert "insertaction" in s and "assignment('o_orderkey, 's.o_orderkey)" in s
+    # keys must never appear as UPDATE targets
+    assert "assignment('t.o_orderkey" not in s
+    assert "UnresolvedRelation [wh, db, orders]" in s
+    assert "UnresolvedRelation [updates_v]" in s
+
+    dplan = parser.parsePlan(merge_delete_sql("wh.db.pages", "doomed_v", ["id_capitulo", "nome"]))
+    assert dplan.getClass().getSimpleName() == "MergeIntoTable"
+    ds = dplan.toString()
+    assert "deleteaction" in ds.lower()
+    assert "'t.id_capitulo = 's.id_capitulo" in ds and "'t.nome = 's.nome" in ds
+
+
+def test_upsert_refuses_unmarked_parquet_dir(spark, tmp_path):
+    """A fallback_dir holding parquet WITHOUT a _SUCCESS marker may be
+    a half-written commit or a non-Spark dataset (pyarrow writes no
+    marker); treating it as empty would silently destroy it in the
+    swap. Refuse instead."""
+    tgt = tmp_path / "orders"
+    tgt.mkdir()
+    pd.DataFrame({"k": [1], "v": ["pre-existing"]}).to_parquet(tgt / "part-0.parquet")
+    updates = spark.createDataFrame(pd.DataFrame({"k": [2], "v": ["new"]}))
+    with pytest.raises(ValueError, match="no _SUCCESS"):
+        upsert(spark, "ignored.tbl", updates, ["k"], fallback_dir=str(tgt))
+    # the pre-existing data is untouched
+    assert (tgt / "part-0.parquet").exists()
+    assert pd.read_parquet(tgt / "part-0.parquet").v.tolist() == ["pre-existing"]
+
+
+def test_upsert_catalog_path_drops_temp_view(spark, tmp_path, monkeypatch):
+    """The catalog path must not leak one _updates_* temp view per
+    call in a long-lived session — even when the MERGE fails."""
+    import mangaextractor_spark.storage.iceberg as ice
+
+    monkeypatch.setattr(ice, "iceberg_available", lambda s: True)
+    updates = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]}))
+    before = {t.name for t in spark.catalog.listTables()}
+    # no real catalog: the MERGE fails at analysis, but the view must
+    # still be dropped by the finally
+    with pytest.raises(Exception):
+        ice.upsert(spark, "wh.db.missing", updates, ["k"])
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {t for t in after - before if t.startswith("_updates_")}

@@ -348,3 +348,23 @@ def test_kitchen_sink_everything_at_once(spark, tmp_path):
     covers = spark.read.parquet(f"{out}/covers")
     assert covers.count() > 0
     assert covers.filter("cover_bytes IS NULL").count() == 0
+
+
+def test_flagship_span_digest_is_content_md5(spark):
+    """The registered flagship emits span_digest = md5 over the
+    0x1f-joined span fields, deterministically — the content signal
+    for the driver's rows-only record (round-3 verdict item 6)."""
+    import hashlib
+
+    from mangaextractor_spark.queries import REGISTRY
+
+    out = REGISTRY["extract_manga_spans"].spark(spark, "unused").toPandas()
+    assert len(out) > 0
+    assert "span_digest" in out.columns
+    for r in out.itertuples(index=False):
+        want = hashlib.md5(
+            "\x1f".join(
+                [r.doc_id, str(r.order), r.kind, r.text, r.media_ref]
+            ).encode()
+        ).hexdigest()
+        assert r.span_digest == want, r.doc_id
