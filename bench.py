@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_clusters",
     "repeated_ngram_stats",
     "bm25_topk",
+    "main_content_spans",
     "doc_fingerprint",
     "embedding_topk",
     "lsh_ann_topk",

@@ -53,6 +53,19 @@ def unescape_entities(text: Column) -> Column:
     return out
 
 
+def escape_text(text: Column) -> Column:
+    """Entity-escape body text for embedding in synthetic HTML (& first,
+    the standard order so escaping is injective)."""
+    out = F.replace(text, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def escape_sql(expr: str) -> str:
+    """DuckDB twin of escape_text."""
+    return f"REPLACE(REPLACE(REPLACE({expr}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
+
 def collapse_ws(text: Column) -> Column:
     return F.trim(F.regexp_replace(text, _WS_RE, " "))
 

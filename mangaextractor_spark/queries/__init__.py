@@ -47,6 +47,7 @@ def _load_all() -> None:
         dedup,
         extraction_queries,
         html_queries,
+        main_content,
         multimodal_queries,
         parsing_queries,
         relational,
