@@ -79,3 +79,93 @@ def media_fixture_path() -> str:
     media.to_parquet(tmp, index=False)
     os.replace(tmp, path)
     return path
+
+
+_AUDIO_SPEC = dict(n_clips=24, seed=11, max_n=3500)
+_AUDIO_NAME = "audio_" + "_".join(f"{k}{v}" for k, v in sorted(_AUDIO_SPEC.items())) + ".parquet"
+
+
+def audio_fixture_path() -> str:
+    """Write-once (media_ref, image_bytes) fixture of canonical-layout
+    PCM WAV clips (fixtures/wav.py encoder: 44-byte header, fmt at
+    byte 12, data at 36 — the shape the DuckDB oracle's fixed hex
+    offsets assume; the Spark decoder does a real chunk walk and is
+    tested on non-canonical layouts separately). The opaque-bytes
+    column keeps the media-table convention name `image_bytes`.
+    Mixed sample rates / widths / channel counts; deterministic
+    sine+noise payloads."""
+    path = os.path.join(FIXTURE_DIR, _AUDIO_NAME)
+    if os.path.exists(path):
+        return path
+    import numpy as np
+    import pandas as pd
+
+    from .wav import encode_wav
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    rows = []
+    rates = [8000, 16000, 22050, 44100]
+    for ci in range(_AUDIO_SPEC["n_clips"]):
+        rng = np.random.Generator(np.random.PCG64(_AUDIO_SPEC["seed"] * 1000 + ci))
+        rate = rates[ci % len(rates)]
+        ch = 1 + (ci % 2)
+        bits = 16 if ci % 3 else 8
+        n = int(rng.integers(600, _AUDIO_SPEC["max_n"]))
+        t = np.arange(n)[:, None]
+        tone = np.sin(2 * np.pi * (220 + 20 * ci) * t / rate)
+        noise = rng.normal(0, 0.05, size=(n, ch))
+        x = tone + noise
+        if bits == 16:
+            s = np.clip(np.round(x * 20000), -32768, 32767).astype(np.int64)
+        else:
+            s = np.clip(np.round(x * 100) + 128, 0, 255).astype(np.int64)
+        rows.append(
+            {"media_ref": f"audio/clip{ci:03d}.wav", "image_bytes": encode_wav(s, rate, bits=bits)}
+        )
+    tmp = tempfile.mktemp(dir=FIXTURE_DIR, suffix=".parquet.tmp")
+    pd.DataFrame(rows).to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
+_VIDEO_SPEC = dict(n_videos=8, seed=13)
+_VIDEO_NAME = "video_" + "_".join(f"{k}{v}" for k, v in sorted(_VIDEO_SPEC.items())) + ".parquet"
+
+
+def video_fixture_path() -> str:
+    """Write-once (media_ref, image_bytes) fixture of MJPEG-AVI clips
+    (fixtures/avi.py; frames encoded by the in-repo JPEG codec).
+    Canonical header layout (avih at byte 24) for the oracle's fixed
+    hex offsets."""
+    path = os.path.join(FIXTURE_DIR, _VIDEO_NAME)
+    if os.path.exists(path):
+        return path
+    import numpy as np
+    import pandas as pd
+
+    from .avi import encode_mjpeg_avi
+    from .jpeg import encode_gray_jpeg
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    rows = []
+    for vi in range(_VIDEO_SPEC["n_videos"]):
+        rng = np.random.Generator(np.random.PCG64(_VIDEO_SPEC["seed"] * 1000 + vi))
+        w, h = 16 * int(rng.integers(3, 7)), 16 * int(rng.integers(2, 5))
+        n_frames = int(rng.integers(3, 12))
+        fps = [10, 12, 24, 25][vi % 4]
+        base = rng.integers(0, 64)
+        frames = []
+        for fi in range(n_frames):
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 2 + yy + base + fi * 7) % 256).astype(np.uint8)
+            frames.append(encode_gray_jpeg(img))
+        rows.append(
+            {
+                "media_ref": f"video/clip{vi:03d}.avi",
+                "image_bytes": encode_mjpeg_avi(frames, w, h, fps=fps),
+            }
+        )
+    tmp = tempfile.mktemp(dir=FIXTURE_DIR, suffix=".parquet.tmp")
+    pd.DataFrame(rows).to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
