@@ -95,3 +95,77 @@ def html_title_sql(col: str) -> str:
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")):
         expr = f"REPLACE({expr}, '{ent}', '{ch}')"
     return f"TRIM(REGEXP_REPLACE({expr}, '\\s+', ' ', 'g'))"
+
+
+# --- density-based DOM heuristics (round 4) -------------------------------
+# The jusText/Boilerpipe-family signal (public algorithms): boilerplate
+# blocks are short and link-dense, content blocks are long and link-
+# sparse. Block = <p> element here (the deterministic, SQL-expressible
+# block unit); per block we compute cleaned text length and cleaned
+# link-text length and keep blocks with text_len >= DENSITY_MIN_CHARS
+# and link density <= 1/2 — expressed as the INTEGER comparison
+# 2*link_len <= text_len so the rule is exact on both engines (no
+# float ratio in the keep decision).
+
+DENSITY_MIN_CHARS = 20
+_P_BLOCK_RE = r"(?is)<p\b[^>]*>(.*?)</p\s*>"
+_A_TEXT_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def _clean(text: Column) -> Column:
+    return collapse_ws(unescape_entities(strip_tags(text)))
+
+
+def dom_dense_blocks(html: Column) -> Column:
+    """array<struct<text, text_len, link_len>> of the page's <p> blocks
+    after cleaning — the density features, computed map-side."""
+    blocks = F.regexp_extract_all(html, F.lit(_P_BLOCK_RE), 1)
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            _clean(b).alias("text"),
+            F.length(_clean(b)).alias("text_len"),
+            F.length(
+                _clean(F.array_join(F.regexp_extract_all(b, F.lit(_A_TEXT_RE), 1), " "))
+            ).alias("link_len"),
+        ),
+    )
+
+
+def dom_density_main_text(html: Column) -> Column:
+    """Main text = space-join of blocks that pass the density rule."""
+    kept = F.filter(
+        dom_dense_blocks(html),
+        lambda s: (s["text_len"] >= DENSITY_MIN_CHARS)
+        & (s["link_len"] * 2 <= s["text_len"]),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["text"]), " ")
+
+
+def _clean_sql(expr: str) -> str:
+    out = f"REGEXP_REPLACE({expr}, '{_TAG_RE}', ' ', 'g')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")):
+        out = f"REPLACE({out}, '{ent}', '{ch}')"
+    return f"TRIM(REGEXP_REPLACE({out}, '\\s+', ' ', 'g'))"
+
+
+def dom_blocks_sql(col: str) -> str:
+    """DuckDB twin of dom_dense_blocks. DuckDB 1.0's
+    array_to_string([]) is NULL where Spark's array_join([]) is '' —
+    COALESCE pins the linkless-block case to 0 like the Spark side."""
+    blk_list = f"regexp_extract_all({col}, '{_P_BLOCK_RE}', 1)"
+    link_join = f"COALESCE(array_to_string(regexp_extract_all(b, '{_A_TEXT_RE}', 1), ' '), '')"
+    return (
+        f"list_transform({blk_list}, b -> struct_pack("
+        f"text := {_clean_sql('b')}, "
+        f"text_len := length({_clean_sql('b')}), "
+        f"link_len := length({_clean_sql(link_join)})))"
+    )
+
+
+def dom_density_main_sql(col: str) -> str:
+    kept = (
+        f"list_filter({dom_blocks_sql(col)}, s -> "
+        f"s.text_len >= {DENSITY_MIN_CHARS} AND s.link_len * 2 <= s.text_len)"
+    )
+    return f"array_to_string(list_transform({kept}, s -> s.text), ' ')"

@@ -139,3 +139,86 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(_PDF_PARQUET)
         .mapInPandas(kern, "doc_id string, text string, n_pages int")
     )
+
+
+# --- density-based DOM heuristics (north_rule: 'DOM heuristics') ----------
+
+from ..functions.html import (  # noqa: E402
+    DENSITY_MIN_CHARS,
+    dom_dense_blocks,
+    dom_density_main_sql,
+    dom_blocks_sql,
+    escape_sql,
+    escape_text,
+)
+
+_DENS_ESC_SQL_1 = escape_sql("substring(text, 1, 100)")
+_DENS_ESC_SQL_2 = escape_sql("substring(text, 101, 80)")
+
+_DENS_HTML_SQL = (
+    "'<html><body>"
+    '<p class="nav"><a href="#">Home</a> | <a href="#">About</a> | <a href="#">Contact</a></p>'
+    "<p>' || " + _DENS_ESC_SQL_1 + " || '</p>"
+    "<p>ok</p>"
+    "<p>' || " + _DENS_ESC_SQL_2 + " || ' see <a href=\"#\">this link</a> for details</p>"
+    "</body></html>'"
+)
+
+
+def _density_html_col() -> F.Column:
+    return F.concat(
+        F.lit(
+            '<html><body><p class="nav"><a href="#">Home</a> | '
+            '<a href="#">About</a> | <a href="#">Contact</a></p><p>'
+        ),
+        escape_text(F.substring("text", 1, 100)),
+        F.lit("</p><p>ok</p><p>"),
+        escape_text(F.substring("text", 101, 80)),
+        F.lit(' see <a href="#">this link</a> for details</p></body></html>'),
+    )
+
+
+@register(
+    "dom_density_content",
+    f"""
+    WITH pages AS (SELECT doc_id, {_DENS_HTML_SQL} AS html FROM documents),
+    feat AS (
+      SELECT doc_id,
+             {dom_blocks_sql("html")} AS blocks
+      FROM pages
+    )
+    SELECT doc_id,
+           CAST(len(blocks) AS INTEGER) AS n_blocks,
+           CAST(len(list_filter(blocks, s ->
+             s.text_len >= {DENSITY_MIN_CHARS} AND s.link_len * 2 <= s.text_len))
+             AS INTEGER) AS n_kept,
+           COALESCE(array_to_string(list_transform(list_filter(blocks, s ->
+             s.text_len >= {DENSITY_MIN_CHARS} AND s.link_len * 2 <= s.text_len),
+             s -> s.text), ' '), '') AS main_text
+    FROM feat ORDER BY doc_id
+    """,
+    doc="Density-based DOM heuristic (the jusText/Boilerpipe-family "
+    "signal, public algorithms): per <p> block, cleaned text length vs "
+    "cleaned link-text length; keep long, link-sparse blocks. The keep "
+    "rule is the INTEGER comparison 2*link_len <= text_len — exact on "
+    "both engines, no float ratio. Synthetic pages plant a link-dense "
+    "nav block (dropped), a too-short block (dropped), a clean content "
+    "block and a content block with an inline link (both kept). All "
+    "array higher-order functions over one scan — zero shuffles.",
+    tags=("text", "extract"),
+)
+def dom_density_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pages = d.select("doc_id", _density_html_col().alias("html"))
+    feat = pages.select("doc_id", dom_dense_blocks(F.col("html")).alias("blocks"))
+    kept = F.filter(
+        F.col("blocks"),
+        lambda s: (s["text_len"] >= DENSITY_MIN_CHARS)
+        & (s["link_len"] * 2 <= s["text_len"]),
+    )
+    return feat.select(
+        "doc_id",
+        F.size("blocks").alias("n_blocks"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(F.transform(kept, lambda s: s["text"]), " ").alias("main_text"),
+    ).orderBy("doc_id")

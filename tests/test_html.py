@@ -77,3 +77,63 @@ class TestPdf:
         from mangaextractor_spark.fixtures.pdf import build_simple_pdf, extract_pdf_text
 
         assert extract_pdf_text(build_simple_pdf([])) == ""
+
+
+# --- density-based DOM heuristics (round 4) -------------------------------
+
+
+def test_dom_density_blocks_semantics(spark):
+    from mangaextractor_spark.functions.html import (
+        dom_density_main_text,
+    )
+    import pandas as pd
+
+    html = (
+        '<p><a href="/">Homepage</a> <a href="/">About us</a> <a href="/">Contact</a> nav</p>'  # link-dense
+        "<p>tiny</p>"  # too short
+        "<p>this is a long content paragraph that clearly passes the bar</p>"
+        '<p>content with an inline <a href="#">anchor</a> still passes the bar</p>'
+    )
+    df = spark.createDataFrame(pd.DataFrame({"html": [html]}))
+    out = df.select(dom_density_main_text(F.col("html")).alias("t")).first().t
+    assert "long content paragraph" in out
+    assert "inline anchor still passes" in out
+    assert "Homepage" not in out and "tiny" not in out
+
+
+def test_dom_density_oracle_null_trap(spark):
+    """DuckDB's array_to_string([]) is NULL (Spark's array_join([]) is
+    '') — a linkless block or a page with zero kept blocks must not
+    silently drop through the oracle. Regression for the COALESCE in
+    dom_blocks_sql / the query's main_text."""
+    import duckdb
+    import pandas as pd
+
+    from mangaextractor_spark.functions.html import (
+        DENSITY_MIN_CHARS,
+        dom_blocks_sql,
+        dom_dense_blocks,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "html": [
+                "<p>a linkless paragraph easily long enough to keep</p>",
+                '<p><a href="#">A</a><a href="#">B</a> all link junk here</p>',
+            ]
+        }
+    )
+    sdf = (
+        spark.createDataFrame(rows)
+        .select(dom_dense_blocks(F.col("html")).alias("b"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", rows)
+    odf = con.execute(f"SELECT {dom_blocks_sql('html')} AS b FROM t").df()
+    con.close()
+    for srow, orow in zip(sdf.b, odf.b):
+        got_s = [(x["text_len"], x["link_len"]) for x in srow]
+        got_o = [(x["text_len"], x["link_len"]) for x in orow]
+        assert got_s == got_o
+        assert all(v is not None for pair in got_o for v in pair)
