@@ -44,7 +44,7 @@ def _load(spark, ref: str):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True, help="documents table/path")
-    ap.add_argument("--media", required=True, help="media table/path")
+    ap.add_argument("--media", help="media table/path (required for --mode ocr)")
     ap.add_argument("--out", required=True, help="output directory/table root")
     ap.add_argument("--chunks", type=int, default=64)
     ap.add_argument("--engine", default="glyph")
@@ -59,7 +59,20 @@ def main() -> None:
         default="false",
         help="also run the S6 cover pipeline (capa staging + covers_done lineage)",
     )
+    ap.add_argument(
+        "--mode",
+        default="ocr",
+        choices=["ocr", "main_content"],
+        help="ocr = image-kernel extraction via the chunked runner; "
+        "main_content = the zero-shuffle interleaved main-content "
+        "pipeline (html strip / text passthrough / image placeholder) "
+        "written straight to parquet (needs no media table or chunking "
+        "- the transform is map-side, so the scan's own splits are the "
+        "parallelism and a plain write is already restartable)",
+    )
     args = ap.parse_args()
+    if args.mode == "ocr" and not args.media:
+        ap.error("--media is required for --mode ocr")
 
     from pyspark.sql import SparkSession
 
@@ -69,6 +82,13 @@ def main() -> None:
     # from the launcher; getOrCreate just attaches to it.
     spark = SparkSession.builder.appName("mangaextractor-extract").getOrCreate()
     docs = _load(spark, args.docs)
+    if args.mode == "main_content":
+        from mangaextractor_spark.queries.main_content import main_content_spans_df
+
+        out = main_content_spans_df(docs)
+        out.write.mode("overwrite").parquet(f"{args.out}/spans")
+        print(f"extracted {spark.read.parquet(f'{args.out}/spans').count()} spans -> {args.out}/spans")
+        return
     media = _load(spark, args.media)
     result = run_extraction(
         spark,
