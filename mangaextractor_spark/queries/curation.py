@@ -1,0 +1,371 @@
+"""Training-corpus curation operators: decontamination, PII scrub,
+stratified sampling, paragraph-level dedup.
+
+These are the corpus-hygiene passes a large-scale training-data
+pipeline runs between raw extraction and tokenization — the layer the
+dedup ladder (queries/dedup.py) and quality metrics (queries/textops.py)
+feed into. All four are oracle-checked: every computation is either a
+pure Column expression or a groupBy with map-side combine, mirrored
+verbatim in DuckDB SQL.
+
+Scale notes (100 TB framing):
+
+- ``decontamination_overlap`` — the eval-set n-gram collision check
+  (the published GPT-3 / PaLM decontamination procedure: drop training
+  docs sharing a 13-gram with an eval benchmark). The eval side is
+  tiny by construction (benchmarks are thousands of docs, the corpus
+  is billions), so its distinct gram set is BROADCAST and the corpus
+  is scanned once; the only aggregation is per-doc overlap counting,
+  map-side combined. No corpus-vs-corpus join ever happens.
+- ``pii_scrub`` — pure regexp Column expressions (RE2-compatible so
+  the oracle is verbatim-identical): one codegen'd scan, zero
+  shuffles, zero Python.
+- ``stratified_sample`` — per-language hash-bucket rates: map-side
+  only, recomputable per row (no sampling state, no driver RNG), so
+  a 100 TB corpus is rebalanced in one scan with zero shuffles and
+  the decision for any row can be re-derived independently.
+- ``paragraph_dedup`` — C4/RefinedWeb-style line-level exact dedup
+  across the corpus: shuffle ONLY the (gram-hash, doc, pos) triples
+  (tiny vs the text), keep the lexicographically-first occurrence,
+  reassemble surviving paragraphs map-side after one equi-join back.
+  First-wins is a real groupBy MIN (map-side combined, AQE-splittable
+  on skew), never a window over the hash — see queries/_scale_notes.py
+  for why a window would pin viral boilerplate paragraphs on one task.
+
+Reference parity: the reference has no corpus-curation layer (it is a
+per-page OCR tool); these operators are the north_rule's web-scale
+"training-data pipeline" surface, built on the same documents table
+and portable-hash toolkit as the dedup ladder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table, spread
+from . import register
+from ._portable import WORDS_SQL, phash60, phash60_sql, words_col
+
+# --- decontamination ------------------------------------------------------
+
+DECONTAM_K = 13  # the published eval-overlap gram size (GPT-3 appendix C)
+_EVAL_MOD = 20  # doc_id % 20 == 0 -> the synthetic "benchmark" slice
+
+_WS_SQL = WORDS_SQL.format(t="text")
+
+
+def _gram_hashes(ws: Column, k: int) -> Column:
+    """Positional token-k-gram portable hashes; empty when the doc is
+    shorter than k tokens (F.sequence would otherwise count DOWN for a
+    negative span and fabricate grams)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - k),
+        lambda i: phash60(F.concat_ws(" ", F.slice(ws, i + 1, k))),
+    )
+    return F.when(F.size(ws) >= k, grams).otherwise(F.array().cast("array<long>"))
+
+
+_GRAM_SQL = (
+    "list_transform(generate_series(1, len(ws) - {km1}), i -> "
+    + phash60_sql("array_to_string(ws[i : i + {km1}], ' ')")
+    + ")"
+).format(km1=DECONTAM_K - 1)
+
+_DECONTAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WS_SQL} AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, {_GRAM_SQL} AS gs FROM w
+),
+eval_grams AS (
+  SELECT DISTINCT h FROM g, UNNEST(gs) AS t(h) WHERE doc_id % {_EVAL_MOD} = 0
+),
+train AS (SELECT doc_id, gs FROM g WHERE doc_id % {_EVAL_MOD} <> 0),
+hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT h) AS n_overlap
+  FROM train t, UNNEST(gs) AS u(h)
+  JOIN eval_grams e USING (h)
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(gs) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(n_overlap, 0) > 0 AS contaminated
+FROM train t LEFT JOIN hits USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "decontamination_overlap",
+    _DECONTAM_SQL,
+    doc=f"Eval-set decontamination (the published GPT-3/PaLM "
+    f"procedure): flag training documents sharing any token "
+    f"{DECONTAM_K}-gram with the benchmark slice (here the "
+    f"deterministic doc_id % {_EVAL_MOD} == 0 subset stands in for the "
+    "eval suite). The eval gram set is orders of magnitude smaller "
+    "than the corpus, so it is collected into a BROADCAST hash set and "
+    "the 100 TB training side is scanned exactly once; per-doc overlap "
+    "is a distinct-count groupBy with map-side combine. Docs shorter "
+    f"than {DECONTAM_K} tokens carry zero grams and can never be "
+    "flagged — both engines agree by construction.",
+    tags=("dedup", "text", "pipeline"),
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    g = d.select("doc_id", _gram_hashes(words_col(F.col("text")), DECONTAM_K).alias("gs"))
+    eval_grams = (
+        g.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("gs").alias("h"))
+        .distinct()
+    )
+    train = g.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    hits = (
+        train.select("doc_id", F.explode("gs").alias("h"))
+        .join(F.broadcast(eval_grams), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_overlap"))
+    )
+    return (
+        train.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- PII scrub ------------------------------------------------------------
+
+# RE2-compatible AND Java-regex-identical patterns (no lookaround, no
+# backrefs) so the oracle runs the verbatim expression.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+# Deterministic PII planting (both engines build the identical dirty
+# text): every 3rd doc gains an email, every 4th a phone, every 5th an
+# IPv4 — so the fixture has docs with 0, 1, 2 and 3 PII kinds.
+_DIRTY_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up' ELSE '' END"
+)
+
+
+def _dirty_col() -> Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".7 up")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_SQL = f"""
+WITH dirty AS (SELECT doc_id, {_DIRTY_SQL} AS t FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_IP_RE}', '<IP>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g') AS text_scrubbed,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER) AS n_phones
+FROM dirty ORDER BY doc_id
+"""
+
+
+@register(
+    "pii_scrub",
+    _PII_SQL,
+    doc="PII redaction (emails, IPv4 addresses, phone-like numbers) "
+    "with per-kind counts — the compliance pass every published web "
+    "corpus applies (C4, RefinedWeb). Patterns are RE2-compatible AND "
+    "Java-regex-identical (no lookaround/backrefs) so the oracle runs "
+    "the verbatim expressions; email is scrubbed before IP before "
+    "phone so overlapping matches resolve identically. Pure codegen'd "
+    "regexp Columns: one scan, zero shuffles, zero Python — the "
+    "correct 100 TB shape for a per-row rewrite.",
+    tags=("text", "pipeline"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = _dirty_col()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_IP_RE), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+    ).orderBy("doc_id")
+
+
+# --- stratified sampling --------------------------------------------------
+
+# Per-language keep rates out of 100: downsample the head language,
+# keep the tail — the standard language-rebalance before tokenization.
+SAMPLE_RATES = {"en": 20}
+SAMPLE_DEFAULT_RATE = 60
+_SALT = "strat:"  # decorrelates the bucket from train_val_split's
+
+_RATE_SQL = "CASE lang WHEN 'en' THEN 20 ELSE 60 END"
+
+_STRAT_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {phash60_sql("'" + _SALT + "' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < {_RATE_SQL}
+ORDER BY doc_id
+"""
+
+
+@register(
+    "stratified_sample",
+    _STRAT_SQL,
+    doc="Language-stratified deterministic sampling: keep 20% of the "
+    "head language (en) and 60% of every tail language by salted hash "
+    "bucket of the doc id — the rebalance pass between curation and "
+    "tokenization. Like train_val_split, membership is a pure map-side "
+    "Column expression recomputable for any row in isolation: no "
+    "sampling state, no driver RNG, no shuffle — one scan at 100 TB, "
+    "and re-running on a grown corpus never flips prior decisions. "
+    "The salt decorrelates this bucket from the split bucket so "
+    "sampling is independent of the train/val/test assignment.",
+    tags=("text", "pipeline"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        phash60(F.concat(F.lit(_SALT), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    rate = F.when(F.col("lang") == "en", SAMPLE_RATES["en"]).otherwise(
+        SAMPLE_DEFAULT_RATE
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+
+
+# --- paragraph-level exact dedup ------------------------------------------
+
+PARA_TOKENS = 10  # synthetic paragraph = 10-token chunk (docs have no \n)
+
+
+def _paras_col(ws: Column) -> Column:
+    n = F.ceil(F.size(ws) / F.lit(PARA_TOKENS)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * PARA_TOKENS + 1, PARA_TOKENS)),
+    )
+    return F.when(F.size(ws) > 0, paras).otherwise(F.array().cast("array<string>"))
+
+
+_PARAS_SQL = (
+    "list_transform(generate_series(1, CAST(CEIL(len(ws) / {p}.0) AS INT)), "
+    "i -> array_to_string(ws[(i - 1) * {p} + 1 : (i - 1) * {p} + {p}], ' '))"
+).format(p=PARA_TOKENS)
+
+_PARA_SQL = f"""
+WITH w AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+p AS (
+  SELECT doc_id, i - 1 AS pos, paras[i] AS para,
+         {phash60_sql("paras[i]")} AS h
+  FROM (SELECT doc_id, {_PARAS_SQL} AS paras FROM w),
+       UNNEST(generate_series(1, len(paras))) AS t(i)
+),
+first_seen AS (SELECT h, MIN(doc_id * 1000 + pos) AS keep_key FROM p GROUP BY h),
+surv AS (
+  SELECT p.doc_id, p.pos, p.para
+  FROM p JOIN first_seen USING (h)
+  WHERE p.doc_id * 1000 + p.pos = keep_key
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         STRING_AGG(para, ' ' ORDER BY pos) AS text_dedup
+  FROM surv GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len({_PARAS_SQL}) AS INTEGER) AS n_paras,
+       CAST(COALESCE(n_kept, 0) AS INTEGER) AS n_kept,
+       COALESCE(text_dedup, '') AS text_dedup
+FROM w LEFT JOIN agg USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+@register(
+    "paragraph_dedup",
+    _PARA_SQL,
+    doc=f"C4/RefinedWeb-style paragraph-level exact dedup across the "
+    f"whole corpus (paragraph = {PARA_TOKENS}-token chunk; the real "
+    "corpus splits on newlines, the fixture text has none): every "
+    "paragraph occurrence except the lexicographically-first (doc_id, "
+    "pos) is dropped, and surviving paragraphs are reassembled in "
+    "order. Only the (hash, doc, pos) triples shuffle — tiny vs the "
+    "text; first-wins is groupBy MIN with map-side combine joined back "
+    "on the hash (AQE-skew-splittable; a window over h would pin a "
+    "viral boilerplate paragraph on one task, queries/_scale_notes.py), "
+    "and reassembly is a per-doc sort_array over collected survivors.",
+    tags=("dedup", "text", "pipeline"),
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = d.select("doc_id", words_col(F.col("text")).alias("ws"))
+    paras = w.select("doc_id", _paras_col(F.col("ws")).alias("paras"))
+    p = paras.select(
+        "doc_id", F.posexplode("paras").alias("pos", "para")
+    ).withColumn("h", phash60(F.col("para")))
+    key = F.col("doc_id") * 1000 + F.col("pos")
+    first_seen = p.groupBy("h").agg(F.min(key).alias("keep_key"))
+    surv = p.join(first_seen, "h").filter(key == F.col("keep_key"))
+    agg = surv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return (
+        paras.select("doc_id", F.size("paras").alias("n_paras"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+        .orderBy("doc_id")
+    )

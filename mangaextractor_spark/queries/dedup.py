@@ -564,3 +564,51 @@ def repeated_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rep.alias("n_repeated"),
         (n_rep.cast("double") / F.sum("n_pos").cast("double")).alias("repeated_frac"),
     )
+
+
+@register(
+    "dedup_survivors",
+    "WITH RECURSIVE "
+    + _LSH_PAIRS_CTE.strip().removeprefix("WITH ")
+    + """
+    , edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst
+    ),
+    drops AS (
+      SELECT src AS doc_id FROM reach GROUP BY src
+      HAVING src <> MIN(dst)
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN drops x ON d.doc_id = x.doc_id
+    WHERE x.doc_id IS NULL ORDER BY d.doc_id
+    """,
+    doc="The END of the near-dup ladder: the surviving corpus after "
+    "MinHash-LSH candidate generation, connected-component clustering "
+    "and keep-min-doc-per-cluster. Spark side: the drop list is only "
+    "the non-keeper members of multi-doc clusters — a set orders of "
+    "magnitude smaller than the corpus (it is bounded by the number of "
+    "near-duplicate docs), so the final filter is a BROADCAST left-anti "
+    "join: the 100 TB corpus is scanned ONCE with the drop set hashed "
+    "on every executor, zero corpus-side shuffle. Oracle: recursive-CTE "
+    "closure, drops = nodes whose min-reachable id is not themselves, "
+    "anti-join via LEFT JOIN ... IS NULL.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    labels, _ = connected_components(pairs)
+    drops = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        d.join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -208,3 +208,120 @@ ORDER BY doc_id, "order"
 )
 def main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main_content_spans_df(interleaved_docs(spark, sf_dir))
+
+
+# --- PDF spans in the interleaved shape (north_rule: 'PDF/layout parse') --
+
+from ..fixtures.shared import pdf_fixture_path  # noqa: E402
+from .html_queries import _PDF_SHOW_RE  # noqa: E402
+
+_PDF_PARQUET = pdf_fixture_path()
+
+
+def _pdf_text_unesc_sql() -> str:
+    """DuckDB reconstruction of extract_pdf_text over the byte stream
+    (same regexp chain as pdf_extract_text's oracle)."""
+    unesc = "array_to_string(regexp_extract_all(s, '{re}', 1), ' ')".format(
+        re=_PDF_SHOW_RE
+    )
+    unesc = f"REPLACE({unesc}, '\\x5C(', '(')"
+    unesc = f"REPLACE({unesc}, '\\x5C)', ')')"
+    return f"REPLACE({unesc}, '\\x5C\\x5C', '\\')"
+
+
+_MAIN_PDF_SQL = f"""
+WITH p AS (
+  SELECT doc_id, CAST(pdf_bytes AS VARCHAR) AS s
+  FROM read_parquet('{_PDF_PARQUET}')
+),
+ex AS (
+  SELECT doc_id, {_pdf_text_unesc_sql()} AS pdf_text FROM p
+),
+spans AS (
+  SELECT doc_id,
+         list_filter(ARRAY[
+           struct_pack(kind := 'text', text := 'Chapter ' || doc_id, media_ref := ''),
+           struct_pack(kind := 'text', text := pdf_text,
+                       media_ref := 'pdf/' || doc_id),
+           struct_pack(kind := 'text', text := '', media_ref := ''),
+           struct_pack(kind := 'image', text := '',
+                       media_ref := 'img/' || doc_id || '/0')
+         ], sp -> sp.text <> '' OR sp.kind = 'image') AS survivors
+  FROM ex
+)
+SELECT doc_id,
+       survivors[i].kind AS kind,
+       survivors[i].text AS text,
+       survivors[i].media_ref AS media_ref,
+       CAST(i - 1 AS INT) AS "order"
+FROM spans, UNNEST(generate_series(1, len(survivors))) AS g(i)
+ORDER BY doc_id, "order"
+"""
+
+
+@register(
+    "main_content_pdf_spans",
+    _MAIN_PDF_SQL,
+    doc="The interleaved flagship shape with a REAL PDF-parse span "
+    "kind (north_rule: 'PDF/layout parse'): each fixture doc carries a "
+    "title text span, a pdf span whose bytes are parsed by the from-"
+    "scratch content-stream walker (fixtures/pdf.py — show-operator "
+    "extraction with escape handling), an empty text span (dropped by "
+    "the increment-only-on-text rule) and an image placeholder span; "
+    "survivors are renumbered densely. The parse is ONE mapInPandas "
+    "over the bytes column — at 100 TB the pdf bytes ride in the span "
+    "row, so the plan is scan -> Arrow-batched parse -> map-side array "
+    "ops with no join and no shuffle. Oracle: the same show strings "
+    "recovered by regexp over the byte stream (DuckDB renders the "
+    "escape byte as \\x5C), assembled through the identical "
+    "filter-and-renumber SQL.",
+    tags=("extraction", "text", "pipeline", "multimodal"),
+)
+def main_content_pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def kern(batches):
+        from ..fixtures.pdf import extract_pdf_text
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pdf_text": [extract_pdf_text(bytes(b)) for b in pdf["pdf_bytes"]],
+                }
+            )
+
+    ex = spark.read.parquet(_PDF_PARQUET).mapInPandas(
+        kern, "doc_id string, pdf_text string"
+    )
+
+    def sp(kind: str, text, media_ref) -> Column:
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (text if isinstance(text, Column) else F.lit(text)).alias("text"),
+            (
+                media_ref if isinstance(media_ref, Column) else F.lit(media_ref)
+            ).alias("media_ref"),
+        )
+
+    spans = F.array(
+        sp("text", F.concat(F.lit("Chapter "), F.col("doc_id")), ""),
+        sp("text", F.col("pdf_text"), F.concat(F.lit("pdf/"), F.col("doc_id"))),
+        sp("text", "", ""),
+        sp("image", "", F.concat(F.lit("img/"), F.col("doc_id"), F.lit("/0"))),
+    )
+    survivors = F.filter(spans, lambda s: (s["text"] != "") | (s["kind"] == "image"))
+    numbered = F.transform(
+        survivors,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("order"),
+        ),
+    )
+    return (
+        ex.select("doc_id", F.explode(numbered).alias("sp"))
+        .select("doc_id", "sp.kind", "sp.text", "sp.media_ref", "sp.order")
+        .orderBy("doc_id", "order")
+    )
