@@ -44,6 +44,7 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 def _load_all() -> None:
     # Import for registration side effects.
     from . import (  # noqa: F401
+        corpus_prep,
         curation,
         dedup,
         extraction_queries,

@@ -1,0 +1,129 @@
+"""Property-level invariants for the corpus-preparation operators
+(queries/corpus_prep.py), beyond the DuckDB oracle parity that
+tests/test_queries_oracle.py already enforces.
+
+Each test recomputes the operator's defining invariant from the raw
+`documents` table in pandas, so a regression in the Spark expressions
+fails here with a readable message instead of only a value-hash
+mismatch in the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mangaextractor_spark.queries.corpus_prep import (
+    CHUNK_STRIDE,
+    CHUNK_WORDS,
+    PACK_BUCKETS,
+    SEQ_LEN,
+    chunk_spans,
+    gopher_quality_filter,
+    interleaved_stats,
+    sequence_packing,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_pd(spark, sf_small):
+    return (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+
+def test_chunk_spans_covers_every_word(spark, sf_small, docs_pd):
+    out = chunk_spans(spark, sf_small).toPandas()
+    assert out.groupby("doc_id").size().min() >= 1  # >=1 chunk even for tiny docs
+    for doc_id, grp in out.groupby("doc_id"):
+        words = docs_pd.loc[doc_id, "text"].split()
+        grp = grp.sort_values("chunk_id")
+        assert list(grp["chunk_id"]) == list(range(len(grp)))
+        # chunk i is exactly words[i*stride : i*stride + CHUNK_WORDS]
+        for _, row in grp.iterrows():
+            start = row["chunk_id"] * CHUNK_STRIDE
+            expect = words[start : start + CHUNK_WORDS]
+            assert row["chunk_text"].split() == expect
+            assert row["n_chunk_words"] == len(expect)
+        # the last chunk reaches the final word -> full coverage
+        last = grp.iloc[-1]
+        assert last["chunk_id"] * CHUNK_STRIDE + last["n_chunk_words"] == len(words)
+
+
+def test_chunk_spans_overlap_is_stride_complement(spark, sf_small):
+    out = chunk_spans(spark, sf_small).toPandas()
+    multi = out[out.groupby("doc_id")["chunk_id"].transform("max") > 0]
+    some = multi[multi["n_chunk_words"] == CHUNK_WORDS].head(20)
+    assert len(some) > 0, "fixture corpus should contain multi-chunk docs"
+    by_doc = out.set_index(["doc_id", "chunk_id"])["chunk_text"]
+    for _, row in some.iterrows():
+        nxt = by_doc.get((row["doc_id"], row["chunk_id"] + 1))
+        if nxt is None:
+            continue
+        tail = row["chunk_text"].split()[CHUNK_STRIDE:]
+        assert nxt.split()[: len(tail)] == tail
+
+
+def test_sequence_packing_prefix_sums_and_partition(spark, sf_small, docs_pd):
+    out = sequence_packing(spark, sf_small).toPandas()
+    # every doc appears exactly once and bucket ids are in range
+    assert sorted(out["doc_id"]) == sorted(docs_pd.index)
+    assert out["bucket"].between(0, PACK_BUCKETS - 1).all()
+    for _, grp in out.groupby("bucket"):
+        grp = grp.sort_values("doc_id")
+        running = 0
+        for _, row in grp.iterrows():
+            assert row["start_offset"] == running
+            assert row["seq_id"] == running // SEQ_LEN
+            running += row["n_tokens"]
+    # token counts match whitespace tokenization of the source text
+    joined = out.set_index("doc_id").join(docs_pd)
+    assert (joined["n_tokens"] == joined["text"].str.split().str.len()).all()
+
+
+def test_gopher_keep_flag_recomputable(spark, sf_small, docs_pd):
+    from mangaextractor_spark.queries.corpus_prep import (
+        MAX_MEAN_WLEN,
+        MAX_SYMBOL_RATIO,
+        MAX_WORDS,
+        MIN_ALPHA_FRAC,
+        MIN_MEAN_WLEN,
+        MIN_STOP_HITS,
+        MIN_WORDS,
+    )
+
+    out = gopher_quality_filter(spark, sf_small).toPandas().set_index("doc_id")
+    assert set(out["keep"].unique()) == {0, 1}, "gate must split the corpus, not be constant"
+    for doc_id, row in out.iterrows():
+        keep = (
+            MIN_WORDS <= row["n_words"] <= MAX_WORDS
+            and MIN_MEAN_WLEN <= row["mean_word_len"] <= MAX_MEAN_WLEN
+            and row["alpha_frac"] >= MIN_ALPHA_FRAC
+            and row["symbol_ratio"] <= MAX_SYMBOL_RATIO
+            and row["stop_hits"] >= MIN_STOP_HITS
+        )
+        assert row["keep"] == int(keep), f"{doc_id}: keep flag disagrees with its inputs"
+
+
+def test_interleaved_stats_kind_counts_sum(spark, sf_small):
+    out = interleaved_stats(spark, sf_small).toPandas()
+    assert (out["n_spans"] == out["n_html"] + out["n_text"] + out["n_image"]).all()
+    assert (out["total_text_chars"] >= 0).all()
+    assert (out["max_offset"] >= 0).all()
+
+
+def test_map_side_ops_have_no_hash_exchange(spark, sf_small):
+    """gopher / chunk / interleaved_stats must stay shuffle-free up to
+    the deterministic orderBy (whose range exchange is oracle-compare
+    plumbing, not part of the operator)."""
+    for fn in (gopher_quality_filter, chunk_spans, interleaved_stats):
+        plan = fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, f"{fn.__name__} shuffles:\n{plan}"
+
+
+def test_sequence_packing_single_bucket_exchange(spark, sf_small):
+    plan = sequence_packing(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "bucket" in plan
