@@ -66,9 +66,11 @@ def main() -> None:
         help="ocr = image-kernel extraction via the chunked runner; "
         "main_content = the zero-shuffle interleaved main-content "
         "pipeline (html strip / text passthrough / image placeholder) "
-        "written straight to parquet (needs no media table or chunking "
-        "- the transform is map-side, so the scan's own splits are the "
-        "parallelism and a plain write is already restartable)",
+        "run through the chunked lineage runner "
+        "(pipeline/main_content.py): per-chunk idempotent commits + "
+        "mc_done lineage rows, so re-running the identical command "
+        "after a kill resumes at chunk granularity (needs no media "
+        "table; the transform itself is map-side)",
     )
     args = ap.parse_args()
     if args.mode == "ocr" and not args.media:
@@ -83,11 +85,10 @@ def main() -> None:
     spark = SparkSession.builder.appName("mangaextractor-extract").getOrCreate()
     docs = _load(spark, args.docs)
     if args.mode == "main_content":
-        from mangaextractor_spark.queries.main_content import main_content_spans_df
+        from mangaextractor_spark.pipeline.main_content import run_main_content
 
-        out = main_content_spans_df(docs)
-        out.write.mode("overwrite").parquet(f"{args.out}/spans")
-        print(f"extracted {spark.read.parquet(f'{args.out}/spans').count()} spans -> {args.out}/spans")
+        out = run_main_content(spark, docs, args.out, n_chunks=args.chunks)
+        print(f"extracted {out.count()} spans -> {args.out}/spans")
         return
     media = _load(spark, args.media)
     result = run_extraction(

@@ -1,0 +1,91 @@
+"""Kill/resume + lineage tests for the chunked main-content runner
+(pipeline/main_content.py) — the north_rule resumability contract
+applied to the text flagship, mirroring tests/test_resume.py for the
+OCR flagship.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mangaextractor_spark.pipeline.checkpoint import ChunkFailure
+from mangaextractor_spark.pipeline.main_content import (
+    completed_mc_chunks,
+    run_main_content,
+)
+from mangaextractor_spark.queries.main_content import (
+    interleaved_docs,
+    main_content_spans_df,
+)
+
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return interleaved_docs(spark, sf_small).cache()
+
+
+def _collect_sorted(df):
+    return sorted(
+        (r.doc_id, r.kind, r.text, r.media_ref, r.order)
+        for r in df.select("doc_id", "kind", "text", "media_ref", "order").collect()
+    )
+
+
+def test_kill_and_resume_equals_direct_run(spark, docs, tmp_path):
+    direct = _collect_sorted(main_content_spans_df(docs))
+
+    out = str(tmp_path / "mc")
+    with pytest.raises(ChunkFailure):
+        run_main_content(spark, docs, out, n_chunks=N_CHUNKS, fail_on_chunk=2)
+    assert completed_mc_chunks(spark, out) == {0, 1}
+
+    resumed = run_main_content(spark, docs, out, n_chunks=N_CHUNKS)
+    assert _collect_sorted(resumed) == direct
+
+    rows = spark.read.parquet(f"{out}/_lineage").collect()
+    assert {r.chunk for r in rows} == set(range(N_CHUNKS))
+    assert len(rows) == N_CHUNKS, "resume must not redo committed chunks"
+    n_docs_total = sum(r.n_docs for r in rows)
+    assert n_docs_total == docs.count(), "every doc accounted for exactly once"
+    for r in rows:
+        assert r.status == "mc_done"
+        assert r.n_spans == r.n_text + r.n_image
+        # the fixture's 4th span (pure boilerplate) drops for every
+        # doc; a doc whose tail slice is empty (text <= 80 chars)
+        # drops its text span too
+        assert r.n_docs <= r.n_dropped <= 2 * r.n_docs
+        assert r.doc_id_min <= r.doc_id_max
+        assert r.wall_ms >= 0
+
+
+def test_rerun_of_complete_output_is_noop(spark, docs, tmp_path):
+    out = str(tmp_path / "mc")
+    run_main_content(spark, docs, out, n_chunks=N_CHUNKS)
+    before = spark.read.parquet(f"{out}/_lineage").count()
+    run_main_content(spark, docs, out, n_chunks=N_CHUNKS)
+    assert spark.read.parquet(f"{out}/_lineage").count() == before
+
+
+def test_resume_with_different_n_chunks_refused(spark, docs, tmp_path):
+    out = str(tmp_path / "mc")
+    with pytest.raises(ChunkFailure):
+        run_main_content(spark, docs, out, n_chunks=N_CHUNKS, fail_on_chunk=1)
+    with pytest.raises(ChunkFailure, match="n_chunks"):
+        run_main_content(spark, docs, out, n_chunks=N_CHUNKS * 2)
+
+
+def test_kill_mid_staging_rematerializes(spark, docs, tmp_path):
+    """A run killed before the manifest commit must redo staging, not
+    trust a half-written _staged directory."""
+    out = tmp_path / "mc"
+    with pytest.raises(ChunkFailure):
+        run_main_content(spark, docs, str(out), n_chunks=N_CHUNKS, fail_on_chunk=0)
+    # simulate a pre-manifest kill: manifest gone, staged dir present
+    (out / "_mc_manifest.json").unlink()
+    run_main_content(spark, docs, str(out), n_chunks=N_CHUNKS)
+    assert json.loads((out / "_mc_manifest.json").read_text())["n_chunks"] == N_CHUNKS
+    assert completed_mc_chunks(spark, str(out)) == set(range(N_CHUNKS))
