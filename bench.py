@@ -52,6 +52,10 @@ HEADLINE = [
     "repeated_ngram_stats",
     "bm25_topk",
     "main_content_spans",
+    "extracted_dedup_groups",
+    "chunk_spans",
+    "sequence_packing",
+    "source_quality_rollup",
     "doc_fingerprint",
     "embedding_topk",
     "lsh_ann_topk",
@@ -360,7 +364,7 @@ def run_scaling(args) -> None:
         corpus_dir = _materialize_interleaved_corpus(
             os.environ.get("SPARK_GRAFT_MC_DIR", "/tmp/spark_graft_mc_corpus"), args.docs
         )
-    elif args.robust:
+    elif args.robust and not args.big_pages:
         corpus_dir = _materialize_corpus(
             os.environ.get("SPARK_GRAFT_SCALE_DIR_SMALL", "/tmp/spark_graft_scale_corpus_420"),
             args.docs,
@@ -432,6 +436,12 @@ def main() -> None:
     # N- vs 4N-executor comparison would have.
     ap.add_argument("--n", type=int, default=4, help="scaling mode: small core count N")
     ap.add_argument("--robust", action="store_true", help="time the cleaning-ladder mode")
+    ap.add_argument(
+        "--big-pages",
+        action="store_true",
+        help="with --robust --scaling: use the realistic 840x1200 scan corpus "
+        "instead of the bench-sized 420x600 one (longer wall time, same plan)",
+    )
     ap.add_argument(
         "--mode",
         choices=["extract", "main_content"],

@@ -51,3 +51,12 @@ STOP_TERM_DF_FRAC = 0.5
 # df >= 2, so the join-back dimension is (h, is_rep) — key + boolean,
 # the smallest possible payload for the corpus-sized equi-join.
 REPEATED_MIN_DF = 2
+
+# sequence_packing / packed_sequences: the packing prefix sum is the
+# one WINDOW this repo keeps — its partition key is a HASH BUCKET whose
+# population is capped by construction (bucket count is the explicit
+# parallelism knob), never a data-dependent key with unbounded fan-out.
+# That is the rule: windows are fine when the partition size is chosen
+# by the operator, and forbidden when the data chooses it. At 100 TB
+# size buckets to ~64k docs each (corpus_prep.PACK_BUCKETS here is 8
+# for the test corpus).

@@ -108,10 +108,31 @@ ORDER BY doc_id
 )
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
+    m = _gopher_frame(d)
+    nw = F.col("n_words")
+    mean_wlen = F.when(nw > 0, F.col("total_chars") / nw)
+    alpha_frac = F.when(nw > 0, F.col("n_alpha_words") / nw)
+    symbol_ratio = F.when(nw > 0, F.col("n_symbols") / nw)
+    return m.select(
+        "doc_id",
+        "n_words",
+        mean_wlen.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        "stop_hits",
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _gopher_frame(d: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-doc gopher metrics + the boolean-as-int ``keep`` flag, with
+    optional passthrough columns — shared by the per-doc filter query
+    and the per-source rollup."""
     ws = words_col(F.col("text"))
     stops = F.array(*[F.lit(s) for s in STOPWORDS])
     m = d.select(
         "doc_id",
+        *extra_cols,
         F.size(ws).alias("n_words"),
         F.aggregate(ws, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).alias(
             "total_chars"
@@ -138,15 +159,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (symbol_ratio <= MAX_SYMBOL_RATIO)
         & (F.col("stop_hits") >= MIN_STOP_HITS)
     )
-    return m.select(
-        "doc_id",
-        "n_words",
-        mean_wlen.alias("mean_word_len"),
-        alpha_frac.alias("alpha_frac"),
-        symbol_ratio.alias("symbol_ratio"),
-        "stop_hits",
-        F.when(keep, 1).otherwise(0).cast("int").alias("keep"),
-    ).orderBy("doc_id")
+    return m.withColumn("keep", F.when(keep, 1).otherwise(0))
 
 
 def _interleaved_stats_sql() -> str:
@@ -263,7 +276,7 @@ def chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
-_PACK_SQL = f"""
+_PACK_CORE_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          len({WORDS_SQL.format(t="text")}) AS n_tokens,
@@ -280,8 +293,9 @@ SELECT doc_id, CAST(bucket AS INT) AS bucket, CAST(n_tokens AS INT) AS n_tokens,
        CAST(start_offset AS BIGINT) AS start_offset,
        CAST(start_offset // {SEQ_LEN} AS BIGINT) AS seq_id
 FROM c
-ORDER BY bucket, doc_id
 """
+
+_PACK_SQL = _PACK_CORE_SQL + "ORDER BY bucket, doc_id"
 
 
 @register(
@@ -301,6 +315,12 @@ ORDER BY bucket, doc_id
     tags=("curation", "packing"),
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _packing_frame(spark, sf_dir).orderBy("bucket", "doc_id")
+
+
+def _packing_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, n_tokens, start_offset, seq_id) — the packing
+    assignment shared by sequence_packing and packed_sequences."""
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id",
@@ -317,4 +337,199 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.col("start_offset").cast("long").alias("start_offset"),
         F.floor(F.col("start_offset") / F.lit(SEQ_LEN)).cast("long").alias("seq_id"),
-    ).orderBy("bucket", "doc_id")
+    )
+
+
+# --- per-source curation rollup ------------------------------------------
+
+_SOURCE_ROLLUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, text, {WORDS_SQL.format(t="text")} AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         len(ws) AS n_words,
+         list_sum(list_transform(ws, x -> length(x))) AS total_chars,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+         len(list_filter({STOPWORDS!r}, s -> list_contains(ws, s))) AS stop_hits,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols,
+         md5(text) AS content_hash
+  FROM w
+),
+k AS (
+  SELECT m.*,
+         CASE WHEN n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+               AND CAST(total_chars AS DOUBLE) / n_words >= {MIN_MEAN_WLEN}
+               AND CAST(total_chars AS DOUBLE) / n_words <= {MAX_MEAN_WLEN}
+               AND CAST(n_alpha_words AS DOUBLE) / n_words >= {MIN_ALPHA_FRAC}
+               AND CAST(n_symbols AS DOUBLE) / n_words <= {MAX_SYMBOL_RATIO}
+               AND stop_hits >= {MIN_STOP_HITS}
+          THEN 1 ELSE 0 END AS keep
+  FROM m
+),
+h AS (
+  SELECT content_hash, COUNT(*) AS n FROM k GROUP BY content_hash
+)
+SELECT k.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(k.keep) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN h.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(k.n_words) AS BIGINT) AS total_tokens,
+       CAST(SUM(k.keep) AS DOUBLE) / COUNT(*) AS keep_rate,
+       CAST(SUM(CASE WHEN h.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM k JOIN h USING (content_hash)
+GROUP BY k.source
+ORDER BY k.source
+"""
+
+
+@register(
+    "source_quality_rollup",
+    _SOURCE_ROLLUP_SQL,
+    doc="Per-source curation dashboard: doc counts, gopher-gate keep "
+    "rate, exact-duplicate membership rate (docs whose content hash "
+    "has >1 member), total tokens — the per-domain triage view every "
+    "web-corpus pipeline runs before deciding crawl/filter policy. "
+    "Two shuffles total at 100 TB: a content-hash groupBy (map-side "
+    "combined, near-unique keys) equi-joined back (AQE-splittable), "
+    "then the source groupBy (map-side combined; source cardinality "
+    "is small). Rates are ONE double division of exact ints each, so "
+    "the oracle hash is bit-stable.",
+    tags=("curation", "quality", "dedup"),
+)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "content_hash", F.md5(F.col("text").cast("binary"))
+    )
+    k = _gopher_frame(d, extra_cols=("source", "content_hash"))
+    h = k.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n"))
+    j = k.join(h, "content_hash")
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(dup).cast("long").alias("n_dup"),
+            F.sum("n_words").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "n_dup",
+            "total_tokens",
+            (F.col("n_kept").cast("double") / F.col("n_docs")).alias("keep_rate"),
+            (F.col("n_dup").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- dedup over EXTRACTED main content -----------------------------------
+
+
+def _extracted_dedup_sql() -> str:
+    from ..functions.html import html_main_sql
+    from .main_content import _SPANS_SQL
+
+    return f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_SPANS_SQL} AS spans
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         array_to_string(list_filter(list_transform(spans, s ->
+           CASE WHEN s.kind = 'html' THEN {html_main_sql("s.text")}
+                WHEN s.kind = 'text' THEN s.text
+                ELSE '' END), t -> t <> ''), ' ') AS full_text
+  FROM docs
+)
+SELECT md5(full_text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM ex
+GROUP BY md5(full_text)
+ORDER BY content_hash
+"""
+
+
+@register(
+    "extracted_dedup_groups",
+    _extracted_dedup_sql(),
+    doc="Exact dedup computed over the EXTRACTED main content instead "
+    "of the raw page — the composition a real curation pipeline runs "
+    "(two mirrors of one article differ in nav/footer chrome but "
+    "deduplicate after boilerplate strip). The per-doc extraction is "
+    "the same sort/dispatch/drop chain as main_content_spans but "
+    "FOLDED to one string map-side (array ops on the span cell, no "
+    "explode), so the whole query is scan -> project -> one "
+    "content-hash groupBy with map-side combine — the identical "
+    "single-shuffle shape as dedup_exact at any scale.",
+    tags=("dedup", "extraction", "pipeline"),
+)
+def extracted_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.html import html_main_text
+    from .main_content import interleaved_docs
+
+    docs = interleaved_docs(spark, sf_dir)
+    ordered = F.array_sort(
+        F.col("spans"),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    texts = F.filter(
+        F.transform(
+            ordered,
+            lambda s: F.when(s["kind"] == "html", html_main_text(s["text"]))
+            .when(s["kind"] == "text", s["text"])
+            .otherwise(F.lit("")),
+        ),
+        lambda t: t != "",
+    )
+    ex = docs.select("doc_id", F.array_join(texts, " ").alias("full_text"))
+    return (
+        ex.groupBy(F.md5(F.col("full_text").cast("binary")).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .orderBy("content_hash")
+    )
+
+
+# --- packed training sequences -------------------------------------------
+
+_PACKED_SEQ_SQL = f"""
+WITH p AS ({_PACK_CORE_SQL})
+SELECT bucket, seq_id,
+       COUNT(*) AS n_docs,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+FROM p
+GROUP BY bucket, seq_id
+ORDER BY bucket, seq_id
+"""
+
+
+@register(
+    "packed_sequences",
+    _PACKED_SEQ_SQL,
+    doc=f"Materialized training sequences from sequence_packing: all "
+    f"docs whose packed stream STARTS in sequence (bucket, seq_id), "
+    "with the member list and token total — what a dataloader "
+    "manifest actually ships. On top of the per-bucket window this "
+    "adds one groupBy on (bucket, seq_id): key cardinality is "
+    f"total_tokens/{SEQ_LEN} (uniformly spread by construction), "
+    "map-side combined — no skew exposure at 100 TB.",
+    tags=("curation", "packing"),
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _packing_frame(spark, sf_dir)
+    return (
+        p.groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("doc_ids"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        )
+        .orderBy("bucket", "seq_id")
+    )

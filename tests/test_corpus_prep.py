@@ -127,3 +127,43 @@ def test_sequence_packing_single_bucket_exchange(spark, sf_small):
     plan = sequence_packing(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "bucket" in plan
+
+
+def test_source_rollup_consistent_with_gopher(spark, sf_small):
+    from mangaextractor_spark.queries.corpus_prep import source_quality_rollup
+
+    roll = source_quality_rollup(spark, sf_small).toPandas()
+    gq = gopher_quality_filter(spark, sf_small).toPandas()
+    assert roll["n_docs"].sum() == len(gq)
+    assert roll["n_kept"].sum() == gq["keep"].sum()
+    assert ((roll["keep_rate"] >= 0) & (roll["keep_rate"] <= 1)).all()
+    assert (roll["n_dup"] <= roll["n_docs"]).all()
+
+
+def test_extracted_dedup_partitions_corpus(spark, sf_small, docs_pd):
+    from mangaextractor_spark.queries.corpus_prep import extracted_dedup_groups
+
+    g = extracted_dedup_groups(spark, sf_small).toPandas()
+    assert g["n_docs"].sum() == len(docs_pd)
+    assert g["content_hash"].is_unique
+
+
+def test_packed_sequences_matches_packing(spark, sf_small):
+    from mangaextractor_spark.queries.corpus_prep import (
+        packed_sequences,
+        sequence_packing,
+    )
+
+    packs = sequence_packing(spark, sf_small).toPandas()
+    seqs = packed_sequences(spark, sf_small).toPandas()
+    assert seqs["n_docs"].sum() == len(packs)
+    expect = (
+        packs.groupby(["bucket", "seq_id"])["n_tokens"].sum().reset_index(name="tok")
+    )
+    merged = seqs.merge(expect, on=["bucket", "seq_id"])
+    assert len(merged) == len(seqs)
+    assert (merged["seq_tokens"] == merged["tok"]).all()
+    for _, row in seqs.head(20).iterrows():
+        members = [int(m) for m in row["doc_ids"].split(",")]
+        assert members == sorted(members)  # doc_id is numeric in both engines
+        assert len(members) == row["n_docs"]
