@@ -533,3 +533,97 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "seq_id")
     )
+
+
+# --- token-rarity quality (CCNet-family signal) --------------------------
+
+# Vocabulary cap: top-K tokens by corpus frequency form the "known"
+# vocabulary; everything else is OOV at rank K+1. The synthetic lexicon
+# has ~30 distinct tokens, so K=24 leaves a real OOV tail and the
+# oracle exercises both branches; production sets K to e.g. 65536.
+VOCAB_K = 24
+
+_RARITY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {WORDS_SQL.format(t="text")} AS ws FROM documents
+),
+toks AS (
+  SELECT doc_id, UNNEST(ws) AS token FROM w
+),
+cnt AS (
+  SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+),
+vocab AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+  FROM cnt ORDER BY n DESC, token LIMIT {VOCAB_K}
+),
+per AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         SUM(COALESCE(v.rank, {VOCAB_K + 1})) AS sum_rank
+  FROM toks t LEFT JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN p.n_tokens > 0
+            THEN CAST(p.n_oov AS DOUBLE) / p.n_tokens END AS oov_frac,
+       CASE WHEN p.n_tokens > 0
+            THEN CAST(p.sum_rank AS DOUBLE) / p.n_tokens END AS mean_rank
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "token_rarity_quality",
+    _RARITY_SQL,
+    doc=f"CCNet-family rarity quality signal without the float-"
+    "precision trap of a real LM perplexity: per-doc OOV fraction and "
+    f"mean corpus-frequency RANK of its tokens against the top-"
+    f"{VOCAB_K} vocabulary (ranks are exact integers, ties broken by "
+    "token; each ratio is one double division, so the oracle hash is "
+    "bit-stable where log-probs would drift ulps between engines). "
+    "Scale shape: token groupBy (map-side combined) -> distributed "
+    "top-K (TakeOrdered, never a global sort) -> the ONLY window runs "
+    "over the K-row vocabulary (bounded by construction, the "
+    "_scale_notes.py window rule) -> K-row broadcast join-back -> "
+    "per-doc groupBy (map-side combined). No corpus-sized shuffle "
+    "beyond the two combinable aggregations.",
+    tags=("curation", "quality", "text"),
+)
+def token_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.orderBy(F.col("n").desc(), "token")
+    vocab = (
+        cnt.orderBy(F.col("n").desc(), "token")
+        .limit(VOCAB_K)
+        .withColumn("rank", F.row_number().over(wv))
+        .select("token", "rank")
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum(F.coalesce(F.col("rank"), F.lit(VOCAB_K + 1))).alias("sum_rank"),
+        )
+    )
+    nt = F.col("n_tokens")
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(nt, F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.when(nt > 0, F.col("n_oov").cast("double") / nt).alias("oov_frac"),
+            F.when(nt > 0, F.col("sum_rank").cast("double") / nt).alias("mean_rank"),
+        )
+        .orderBy("doc_id")
+    )

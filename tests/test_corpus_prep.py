@@ -167,3 +167,46 @@ def test_packed_sequences_matches_packing(spark, sf_small):
         members = [int(m) for m in row["doc_ids"].split(",")]
         assert members == sorted(members)  # doc_id is numeric in both engines
         assert len(members) == row["n_docs"]
+
+
+def test_token_rarity_recomputable(spark, sf_small, docs_pd):
+    import re
+    from collections import Counter
+
+    from mangaextractor_spark.queries.corpus_prep import (
+        VOCAB_K,
+        token_rarity_quality,
+    )
+
+    def toks(t):
+        return [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+
+    counts = Counter()
+    for t in docs_pd["text"]:
+        counts.update(toks(t))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_K]
+    rank = {w: i + 1 for i, (w, _) in enumerate(top)}
+    assert len(counts) > VOCAB_K, "fixture must have an OOV tail"
+
+    out = token_rarity_quality(spark, sf_small).toPandas().set_index("doc_id")
+    assert len(out) == len(docs_pd)
+    for doc_id, row in out.head(50).iterrows():
+        ws = toks(docs_pd.loc[doc_id, "text"])
+        assert row["n_tokens"] == len(ws)
+        assert row["n_oov"] == sum(1 for w in ws if w not in rank)
+        expect_mean = sum(rank.get(w, VOCAB_K + 1) for w in ws) / len(ws)
+        assert abs(row["mean_rank"] - expect_mean) < 1e-12
+
+
+def test_token_rarity_vocab_window_is_bounded(spark, sf_small):
+    """The only window in the plan must run AFTER the top-K limit —
+    i.e. over at most VOCAB_K rows — never over the corpus-sized
+    token-count frame (the _scale_notes.py window rule)."""
+    from mangaextractor_spark.queries.corpus_prep import token_rarity_quality
+
+    plan = token_rarity_quality(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert "GlobalLimit" in plan or "TakeOrdered" in plan, plan
+    i_win = plan.find("Window")
+    assert i_win != -1
+    # the window's subtree must contain the limit (window above limit)
+    assert "Limit" in plan[i_win:] or "TakeOrdered" in plan[i_win:], plan
