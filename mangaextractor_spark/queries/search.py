@@ -142,7 +142,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query terms the whole pruned corpus would ride on <=18 tasks at
     # scale. The persist stops the broadcast build from re-executing
     # the tf subtree (round-2 lesson); the broadcast side is |vocab|
-    # rows. See queries/_scale_notes.py.
+    # rows. See queries/_scale_notes.py. Persist scope: the cache lives
+    # until session clearCache — batch jobs drop it with the session;
+    # a long-lived service should clearCache between corpora.
     tf = flat.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tfdf = tf.join(F.broadcast(dft), "term")
