@@ -96,14 +96,27 @@ def run_main_content(
         manifest_path.write_text(json.dumps({"n_chunks": n_chunks}))
     staged = spark.read.parquet(staged_dir)
     done = completed_mc_chunks(spark, out_dir)
+    if done == set(range(n_chunks)):
+        return spark.read.parquet(f"{out_dir}/spans")
+    # Driver-side cost discipline: the html-chain expression tree costs
+    # seconds of py4j construction + analysis, so the transform plan is
+    # built ONCE with the chunk id riding through as a passthrough
+    # column; each iteration only adds a partition filter (pushed down
+    # to the staged scan — pruning is plan-asserted in the tests).
+    # Likewise all chunks' input span counts come from ONE upfront job
+    # instead of one scan per chunk.
+    n_in_by_chunk = {
+        r["chunk"]: r["n"]
+        for r in staged.groupBy("chunk").agg(F.sum(F.size("spans")).alias("n")).collect()
+    }
+    spans_all = main_content_spans_df(staged, passthrough=("chunk",))
     for chunk in range(n_chunks):
         if chunk in done:
             continue
         if fail_on_chunk == chunk:
             raise ChunkFailure(f"injected failure before chunk {chunk} committed")
         t0 = time.monotonic()
-        cdocs = staged.filter(F.col("chunk") == chunk).drop("chunk")
-        spans = main_content_spans_df(cdocs)
+        spans = spans_all.filter(F.col("chunk") == chunk).drop("chunk")
         spans.write.mode("overwrite").parquet(f"{out_dir}/spans/chunk={chunk}")
         # stats come from what was actually COMMITTED, not the plan
         written = spark.read.parquet(f"{out_dir}/spans/chunk={chunk}")
@@ -115,9 +128,7 @@ def run_main_content(
             F.min("doc_id").alias("doc_id_min"),
             F.max("doc_id").alias("doc_id_max"),
         ).first()
-        n_in = cdocs.select(
-            F.sum(F.size("spans")).alias("n")
-        ).first()["n"]
+        n_in = n_in_by_chunk.get(chunk, 0)
         spark.createDataFrame(
             [
                 (

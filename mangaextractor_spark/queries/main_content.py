@@ -105,12 +105,19 @@ def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(F.col("doc_id").cast("string").alias("doc_id"), _spans_col().alias("spans"))
 
 
-def main_content_spans_df(docs: DataFrame) -> DataFrame:
+def main_content_spans_df(
+    docs: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, spans[]) -> (doc_id, kind, text, media_ref, order).
 
     Entirely map-side: array_sort by offset -> per-kind transform ->
     drop empties -> renumber by surviving position -> explode. No
-    exchange in the plan (asserted by tests/test_main_content.py)."""
+    exchange in the plan (asserted by tests/test_main_content.py).
+
+    ``passthrough`` columns ride along unchanged (e.g. the chunk id in
+    pipeline/main_content.py, which builds this plan ONCE and filters
+    it per chunk — constructing the html-chain expression tree per
+    chunk costs seconds of driver time at high chunk counts)."""
     ordered = F.array_sort(
         F.col("spans"),
         lambda a, b: F.when(a["offset"] < b["offset"], -1)
@@ -139,8 +146,8 @@ def main_content_spans_df(docs: DataFrame) -> DataFrame:
             i.cast("int").alias("order"),
         ),
     )
-    return docs.select("doc_id", F.explode(numbered).alias("sp")).select(
-        "doc_id", "sp.kind", "sp.text", "sp.media_ref", "sp.order"
+    return docs.select("doc_id", *passthrough, F.explode(numbered).alias("sp")).select(
+        "doc_id", *passthrough, "sp.kind", "sp.text", "sp.media_ref", "sp.order"
     )
 
 

@@ -89,3 +89,29 @@ def test_kill_mid_staging_rematerializes(spark, docs, tmp_path):
     run_main_content(spark, docs, str(out), n_chunks=N_CHUNKS)
     assert json.loads((out / "_mc_manifest.json").read_text())["n_chunks"] == N_CHUNKS
     assert completed_mc_chunks(spark, str(out)) == set(range(N_CHUNKS))
+
+
+def test_chunk_filter_prunes_staged_partitions(spark, docs, tmp_path):
+    """The build-once transform's per-chunk filter must push down to
+    the staged scan as a partition filter (pruned directory read), not
+    a post-explode row filter over every chunk's data."""
+    from pyspark.sql import functions as F
+
+    from mangaextractor_spark.queries.main_content import main_content_spans_df
+
+    staged_dir = str(tmp_path / "staged")
+    (
+        docs.withColumn("chunk", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"))
+        .write.partitionBy("chunk")
+        .mode("overwrite")
+        .parquet(staged_dir)
+    )
+    staged = spark.read.parquet(staged_dir)
+    spans_all = main_content_spans_df(staged, passthrough=("chunk",))
+    plan = (
+        spans_all.filter(F.col("chunk") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "chunk" in plan.split("PartitionFilters")[1][:120], plan
