@@ -56,6 +56,7 @@ HEADLINE = [
     "chunk_spans",
     "sequence_packing",
     "source_quality_rollup",
+    "token_rarity_quality",
     "doc_fingerprint",
     "embedding_topk",
     "lsh_ann_topk",

@@ -58,6 +58,7 @@ def run_main_content(
     n_chunks: int = 8,
     fail_on_chunk: int | None = None,
     run_id: str | None = None,
+    input_is_chunked: bool = False,
 ) -> DataFrame:
     """Execute main-content extraction chunk-by-chunk with lineage;
     returns the final span DataFrame (also at ``{out_dir}/spans``).
@@ -67,6 +68,13 @@ def run_main_content(
     ``fail_on_chunk`` injects a failure before that chunk commits (for
     the kill/resume tests). Chunk writes are idempotent overwrites, so
     a chunk that died mid-write is simply redone on resume.
+
+    ``input_is_chunked=True`` declares that ``docs`` already carries an
+    int ``chunk`` column in ``[0, n_chunks)`` backed by a pruned layout
+    (an Iceberg table bucket-partitioned on doc_id, or a parquet
+    directory partitioned by chunk) — the staging rewrite is SKIPPED
+    entirely, which is the production shape: the table layout IS the
+    staging, and per-chunk filters prune to their own partitions.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     staged_dir = f"{out_dir}/_staged"
@@ -83,6 +91,20 @@ def run_main_content(
                 f"{n_chunks}; rerun with n_chunks={stored['n_chunks']} "
                 "or a fresh out_dir."
             )
+        if stored.get("input_is_chunked", False) != input_is_chunked:
+            raise ChunkFailure(
+                f"staging mode at {out_dir} changed between runs "
+                "(input_is_chunked flipped); use a fresh out_dir."
+            )
+    elif input_is_chunked:
+        if "chunk" not in docs.columns:
+            raise ChunkFailure(
+                "input_is_chunked=True but `docs` has no chunk column"
+            )
+        manifest_path.parent.mkdir(parents=True, exist_ok=True)
+        manifest_path.write_text(
+            json.dumps({"n_chunks": n_chunks, "input_is_chunked": True})
+        )
     else:
         (
             docs.withColumn(
@@ -94,7 +116,7 @@ def run_main_content(
         )
         # manifest written LAST = the staging commit marker
         manifest_path.write_text(json.dumps({"n_chunks": n_chunks}))
-    staged = spark.read.parquet(staged_dir)
+    staged = docs if input_is_chunked else spark.read.parquet(staged_dir)
     done = completed_mc_chunks(spark, out_dir)
     if done == set(range(n_chunks)):
         return spark.read.parquet(f"{out_dir}/spans")

@@ -72,6 +72,13 @@ def main() -> None:
         "after a kill resumes at chunk granularity (needs no media "
         "table; the transform itself is map-side)",
     )
+    ap.add_argument(
+        "--pre-chunked",
+        default="false",
+        help="main_content mode: the --docs table already carries an int "
+        "`chunk` column backed by a pruned layout (Iceberg bucket "
+        "partitioning) — skip the staging rewrite",
+    )
     args = ap.parse_args()
     if args.mode == "ocr" and not args.media:
         ap.error("--media is required for --mode ocr")
@@ -87,7 +94,13 @@ def main() -> None:
     if args.mode == "main_content":
         from mangaextractor_spark.pipeline.main_content import run_main_content
 
-        out = run_main_content(spark, docs, args.out, n_chunks=args.chunks)
+        out = run_main_content(
+            spark,
+            docs,
+            args.out,
+            n_chunks=args.chunks,
+            input_is_chunked=args.pre_chunked.lower() in ("1", "true", "yes"),
+        )
         print(f"extracted {out.count()} spans -> {args.out}/spans")
         return
     media = _load(spark, args.media)

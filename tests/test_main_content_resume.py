@@ -115,3 +115,37 @@ def test_chunk_filter_prunes_staged_partitions(spark, docs, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "chunk" in plan.split("PartitionFilters")[1][:120], plan
+
+
+def test_pre_chunked_input_skips_staging(spark, docs, tmp_path):
+    """input_is_chunked=True: the chunk-partitioned source IS the
+    staging (the Iceberg-layout shape) — no _staged rewrite, identical
+    output, resume still chunk-granular."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from mangaextractor_spark.queries.main_content import main_content_spans_df
+
+    src_dir = str(tmp_path / "src")
+    (
+        docs.withColumn("chunk", F.pmod(F.xxhash64("doc_id"), F.lit(N_CHUNKS)).cast("int"))
+        .write.partitionBy("chunk")
+        .mode("overwrite")
+        .parquet(src_dir)
+    )
+    chunked = spark.read.parquet(src_dir)
+    out = tmp_path / "mc"
+    with pytest.raises(ChunkFailure):
+        run_main_content(
+            spark, chunked, str(out), n_chunks=N_CHUNKS, fail_on_chunk=2, input_is_chunked=True
+        )
+    assert not (out / "_staged").exists(), "staging rewrite must be skipped"
+    res = run_main_content(spark, chunked, str(out), n_chunks=N_CHUNKS, input_is_chunked=True)
+    assert _collect_sorted(res) == _collect_sorted(main_content_spans_df(docs))
+    assert completed_mc_chunks(spark, str(out)) == set(range(N_CHUNKS))
+
+
+def test_pre_chunked_requires_chunk_column(spark, docs, tmp_path):
+    with pytest.raises(ChunkFailure, match="no chunk column"):
+        run_main_content(spark, docs, str(tmp_path / "x"), input_is_chunked=True)
