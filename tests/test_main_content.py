@@ -91,3 +91,34 @@ def test_fixture_spans_exercise_every_branch(spark, sf_small):
     # order is dense per doc
     for _, g in per_doc:
         assert sorted(g["order"]) == list(range(len(g)))
+
+
+def test_edge_inputs_have_defined_semantics(spark):
+    """Corpus-reality edge cases a 10^12-doc table will contain:
+    empty span arrays and NULL span arrays vanish (no row, not a
+    crash); a NULL-text html span extracts to NULL and is dropped like
+    an empty extraction; spans with EQUAL offsets keep their input
+    array order (Spark's array_sort comparator sort is stable), so
+    ties are deterministic given a deterministic source array."""
+    from mangaextractor_spark.queries.main_content import main_content_spans_df
+
+    schema = (
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    rows = [
+        ("empty", []),
+        ("nullarr", None),
+        ("nulltext", [("html", None, "", 0), ("text", "keep me", "", 1)]),
+        ("dup", [("text", "b", "", 5), ("text", "a", "", 5), ("image", "", "m", 5)]),
+    ]
+    out = main_content_spans_df(spark.createDataFrame(rows, schema))
+    got = sorted(map(tuple, out.collect()))
+    assert got == sorted(
+        [
+            ("dup", "text", "b", "", 0),
+            ("dup", "text", "a", "", 1),
+            ("dup", "image", "", "m", 2),
+            ("nulltext", "text", "keep me", "", 0),
+        ]
+    )
