@@ -430,22 +430,29 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dedup over EXTRACTED main content -----------------------------------
 
 
-def _extracted_dedup_sql() -> str:
+def _extracted_text_sql() -> str:
+    """Subquery producing (doc_id, full_text): the interleaved fixture
+    extracted + folded to one string per doc — the shared source for
+    exact AND near-dup over extracted content."""
     from ..functions.html import html_main_sql
     from .main_content import _SPANS_SQL
 
     return f"""
-WITH docs AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_SPANS_SQL} AS spans
-  FROM documents
-),
-ex AS (
   SELECT doc_id,
          array_to_string(list_filter(list_transform(spans, s ->
            CASE WHEN s.kind = 'html' THEN {html_main_sql("s.text")}
                 WHEN s.kind = 'text' THEN s.text
                 ELSE '' END), t -> t <> ''), ' ') AS full_text
-  FROM docs
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_SPANS_SQL} AS spans
+    FROM documents
+  )"""
+
+
+def _extracted_dedup_sql() -> str:
+    return f"""
+WITH ex AS (
+{_extracted_text_sql()}
 )
 SELECT md5(full_text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
 FROM ex
@@ -454,21 +461,8 @@ ORDER BY content_hash
 """
 
 
-@register(
-    "extracted_dedup_groups",
-    _extracted_dedup_sql(),
-    doc="Exact dedup computed over the EXTRACTED main content instead "
-    "of the raw page — the composition a real curation pipeline runs "
-    "(two mirrors of one article differ in nav/footer chrome but "
-    "deduplicate after boilerplate strip). The per-doc extraction is "
-    "the same sort/dispatch/drop chain as main_content_spans but "
-    "FOLDED to one string map-side (array ops on the span cell, no "
-    "explode), so the whole query is scan -> project -> one "
-    "content-hash groupBy with map-side combine — the identical "
-    "single-shuffle shape as dedup_exact at any scale.",
-    tags=("dedup", "extraction", "pipeline"),
-)
-def extracted_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _extracted_text_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, full_text) — the Spark twin of _extracted_text_sql."""
     from ..functions.html import html_main_text
     from .main_content import interleaved_docs
 
@@ -488,7 +482,25 @@ def extracted_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda t: t != "",
     )
-    ex = docs.select("doc_id", F.array_join(texts, " ").alias("full_text"))
+    return docs.select("doc_id", F.array_join(texts, " ").alias("full_text"))
+
+
+@register(
+    "extracted_dedup_groups",
+    _extracted_dedup_sql(),
+    doc="Exact dedup computed over the EXTRACTED main content instead "
+    "of the raw page — the composition a real curation pipeline runs "
+    "(two mirrors of one article differ in nav/footer chrome but "
+    "deduplicate after boilerplate strip). The per-doc extraction is "
+    "the same sort/dispatch/drop chain as main_content_spans but "
+    "FOLDED to one string map-side (array ops on the span cell, no "
+    "explode), so the whole query is scan -> project -> one "
+    "content-hash groupBy with map-side combine — the identical "
+    "single-shuffle shape as dedup_exact at any scale.",
+    tags=("dedup", "extraction", "pipeline"),
+)
+def extracted_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _extracted_text_df(spark, sf_dir)
     return (
         ex.groupBy(F.md5(F.col("full_text").cast("binary")).alias("content_hash"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
@@ -626,4 +638,40 @@ def token_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(nt > 0, F.col("sum_rank").cast("double") / nt).alias("mean_rank"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- near-dup over EXTRACTED main content --------------------------------
+
+
+def _extracted_minhash_sql() -> str:
+    from .dedup import LSH_PAIRS_TAIL_SQL, minhash_cte_sql
+
+    w_source = f"""
+      SELECT doc_id, {WORDS_SQL.format(t="full_text")} AS ws FROM (
+{_extracted_text_sql()}
+      )"""
+    return minhash_cte_sql(w_source) + LSH_PAIRS_TAIL_SQL
+
+
+@register(
+    "extracted_minhash_pairs",
+    _extracted_minhash_sql(),
+    doc="Banded MinHash-LSH candidate pairs over EXTRACTED main "
+    "content — the near-dup completion of extracted_dedup_groups: two "
+    "mirrors of one article whose chrome differs AND whose bodies "
+    "drifted a little (ads injected, dates updated) surface here, not "
+    "in the exact-hash pass. Same machinery as minhash_lsh_pairs "
+    "(map-side shingle->minhash->band signatures, band-bucket "
+    "sort-merge self-join with ReusedExchange), fed by the map-side "
+    "extraction fold — the full extract->sketch->join chain remains "
+    "ONE scan of the interleaved table at 100 TB.",
+    tags=("dedup", "sketch", "extraction", "pipeline"),
+)
+def extracted_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hashed_shingles_from, lsh_band_pairs
+
+    ex = _extracted_text_df(spark, sf_dir)
+    return lsh_band_pairs(hashed_shingles_from(ex, text_col="full_text")).orderBy(
+        "a_id", "b_id"
     )

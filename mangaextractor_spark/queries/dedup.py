@@ -50,21 +50,26 @@ _WS_SQL = (
 )
 
 
-def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hashed_shingles_from(d: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, hl: array<long>) — 60-bit hashes of the doc's shingles,
-    duplicates preserved; computed entirely map-side.
+    duplicates preserved; computed entirely map-side over any
+    (doc_id, <text_col>) frame (raw documents here; EXTRACTED main
+    content in queries/corpus_prep.extracted_minhash_pairs).
 
     The short-doc filter runs on the cheap token count BEFORE the hash
     projection, and ``hl`` is aliased in its own projection so Catalyst
     keeps it materialized (a non-cheap alias referenced N times is not
     collapsed into its consumers) — the md5 pass runs once, not once
     per downstream min/band expression."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    hl = F.transform(shingles3(words_col(F.col("text"))), phash60)
+    hl = F.transform(shingles3(words_col(F.col(text_col))), phash60)
     return (
-        d.filter(F.size(words_col(F.col("text"))) >= 3)
+        d.filter(F.size(words_col(F.col(text_col))) >= 3)
         .select("doc_id", hl.alias("hl"))
     )
+
+
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hashed_shingles_from(spread(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -181,6 +186,38 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _XOR_LIST_SQL = "[" + ", ".join(str(c) for c in XOR_CONSTS) + "]"
 
+def minhash_cte_sql(w_source: str) -> str:
+    """The shingle->minhash CTE chain over any (doc_id, ws) source —
+    shared by the raw-text queries here and the extracted-content
+    near-dup in queries/corpus_prep.py."""
+    return f"""
+    WITH w AS ({w_source}),
+    hs AS (
+      SELECT doc_id,
+             list_transform({_SHINGLE_LIST_SQL}, s -> {phash60_sql('s')}) AS hl
+      FROM w WHERE len(ws) >= 3
+    ),
+    mh AS (
+      SELECT doc_id, p AS perm,
+             list_min(list_transform(hl, h -> xor(h, {_XOR_LIST_SQL}[p + 1]))) AS minhash
+      FROM hs CROSS JOIN UNNEST(generate_series(0, {N_PERMS - 1})) AS t(p)
+    )
+"""
+
+
+LSH_PAIRS_TAIL_SQL = f"""
+    , sig AS (
+      SELECT doc_id, perm // {BAND_SIZE} AS band,
+             STRING_AGG(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS band_sig
+      FROM mh GROUP BY doc_id, perm // {BAND_SIZE}
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ORDER BY a_id, b_id
+"""
+
+
 _MINHASH_CTE = f"""
     WITH w AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
     hs AS (
@@ -251,7 +288,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "sketch", "join"),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hs = _hashed_shingles(spark, sf_dir)
+    return lsh_band_pairs(_hashed_shingles(spark, sf_dir))
+
+
+def lsh_band_pairs(hs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a hashed-shingle frame — the
+    shared engine behind minhash_lsh_pairs (raw text) and
+    extracted_minhash_pairs (boilerplate-stripped text)."""
     mins = _minhash_cols()
     bands = F.array(
         *[
