@@ -60,3 +60,11 @@ REPEATED_MIN_DF = 2
 # by the operator, and forbidden when the data chooses it. At 100 TB
 # size buckets to ~64k docs each (corpus_prep.PACK_BUCKETS here is 8
 # for the test corpus).
+
+# Top-k ranking is the THIRD incarnation of the window pin: row_number
+# over Window.partitionBy(query) carries every candidate of a query on
+# one task (corpus-sized for brute-force similarity / common BM25
+# terms). Fix: queries/_topk.py topk_per_group — Arrow-batched
+# per-PARTITION top-k with the same fully-tie-broken total order, then
+# the exact window over <= k * n_partitions survivors. Results are
+# bit-identical; plan-asserted in tests (MapInPandas feeds the Window).

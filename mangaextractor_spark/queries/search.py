@@ -41,6 +41,7 @@ from pyspark.sql import Window as W
 
 from ..session import load_table, spread
 from . import register
+from ._topk import topk_per_group
 from ._portable import WORDS_SQL, words_col
 
 K1 = 1.25  # exact in binary (5/4); classic default 1.2 is NOT exact
@@ -168,7 +169,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("cs")
     )
     score = F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["contrib"])
-    ranked = agg.select("query_id", "doc_id", score.alias("score")).withColumn(
+    scores = agg.select("query_id", "doc_id", score.alias("score"))
+    # Exact pre-top-k per partition before the rank window: without it
+    # the window carries EVERY candidate doc of a query on one task
+    # (corpus-sized for common terms) — the same window pin as the old
+    # df-by-window, one stage later. See queries/_topk.py.
+    pre = topk_per_group(scores, ["query_id"], ["score", "doc_id"], [False, True], TOP_K)
+    ranked = pre.withColumn(
         "rank",
         F.row_number().over(
             W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..session import load_table, spread
 from . import register
+from ._topk import topk_per_group
 
 N_QUERIES = 16
 TOP_K = 3
@@ -54,6 +55,22 @@ WHERE rank <= {TOP_K} ORDER BY q_id, rank
 """
 
 
+def _rank_topk(sims: DataFrame) -> DataFrame:
+    """Exact top-k ranking of (q_id, neighbor_id, sim): per-partition
+    pre-top-k bounds the rank window to <= k * n_partitions rows per
+    query — without it the window carries EVERY candidate of a query
+    (the whole corpus for the brute-force baseline) on one task. See
+    queries/_topk.py. Results identical: the pruning order (sim desc,
+    neighbor_id asc) IS the window order, fully tie-broken."""
+    pre = topk_per_group(sims, ["q_id"], ["sim", "neighbor_id"], [False, True], TOP_K)
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
 @register(
     "embedding_topk",
     _TOPK_SQL,
@@ -81,12 +98,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("q_id", "rank")
-    )
+    return _rank_topk(sims)
 
 
 L_TABLES = 8  # LSH tables
@@ -220,12 +232,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # a pair colliding in several tables counts once
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("q_id", "rank")
-    )
+    return _rank_topk(sims)
 
 
 CENT_MOD = 31  # centroid seeds: vec_id % 31 == 0 -> ~n/31 cells, scales with data
@@ -339,12 +346,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # a neighbor reachable via several probed cells counts once
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("q_id", "rank")
-    )
+    return _rank_topk(sims)
 
 
 NEAR_DUP_SIM = 0.4

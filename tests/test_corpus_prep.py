@@ -210,3 +210,22 @@ def test_token_rarity_vocab_window_is_bounded(spark, sf_small):
     assert i_win != -1
     # the window's subtree must contain the limit (window above limit)
     assert "Limit" in plan[i_win:] or "TakeOrdered" in plan[i_win:], plan
+
+
+def test_rank_windows_ride_on_pre_topk(spark, sf_small):
+    """The ranking windows in bm25/brute-force-ANN must consume the
+    per-partition pre-top-k (MapInPandas) output, never the raw
+    corpus-sized candidate set — queries/_topk.py."""
+    from mangaextractor_spark.queries import REGISTRY
+
+    for name in ("bm25_topk", "embedding_topk", "lsh_ann_topk", "ivf_ann_topk"):
+        plan = (
+            REGISTRY[name]
+            .spark(spark, sf_small)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        i_win = plan.find("Window")
+        assert i_win != -1, name
+        assert "MapInPandas" in plan[i_win:], f"{name}: window not fed by pre-top-k:\n{plan}"
