@@ -437,17 +437,23 @@ _LSH_PAIRS_CTE = (
     tags=("dedup", "graph"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     pairs = minhash_lsh_pairs(spark, sf_dir)
     labels, _ = connected_components(pairs)
-    w = W.partitionBy("cluster_id")
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
-    ).orderBy("doc_id")
+    # cluster_size via groupBy + equi-join back, not a window over
+    # cluster_id: a viral boilerplate cluster (millions of members)
+    # would pin its whole partition on one window task; the equi-join
+    # is map-side combined and AQE-skew-splittable (_scale_notes.py).
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def connected_components(pairs: DataFrame, max_rounds: int = 64):

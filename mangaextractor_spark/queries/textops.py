@@ -253,8 +253,6 @@ def doc_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "pipeline"),
 )
 def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     d = spread(load_table(spark, sf_dir, "documents"))
     h = F.md5(F.col("text").cast("binary"))
     base = d.select(
@@ -262,10 +260,16 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words_col(F.col("text"))).alias("n_tokens"),
         h.alias("h"),
     )
-    flagged = base.select(
+    # keeper election via groupBy + equi-join back, NOT a window over
+    # the content hash: a boilerplate page duplicated 100M times would
+    # pin its whole hash group on one window task, while the equi-join
+    # is map-side combined on the agg side and AQE-skew-splittable on
+    # the probe side (_scale_notes.py — the window-pin rule).
+    keepers = base.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    flagged = base.join(keepers, "h").select(
         "lang",
         (F.col("n_tokens") >= 10).alias("passes_quality"),
-        (F.col("doc_id") == F.min("doc_id").over(W.partitionBy("h"))).alias("is_keeper"),
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
     )
     return (
         flagged.groupBy("lang")
