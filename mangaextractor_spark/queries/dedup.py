@@ -661,3 +661,52 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+_INCREMENTAL_SQL = """
+WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+base AS (SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 5 <> 4),
+inc AS (SELECT doc_id, content_hash FROM hashed WHERE doc_id % 5 = 4),
+fresh AS (
+  SELECT i.doc_id, i.content_hash
+  FROM inc i LEFT JOIN base b ON i.content_hash = b.content_hash
+  WHERE b.content_hash IS NULL
+)
+SELECT MIN(doc_id) AS doc_id, content_hash, COUNT(*) AS n_dups_in_increment
+FROM fresh GROUP BY content_hash ORDER BY doc_id
+"""
+
+
+@register(
+    "incremental_dedup",
+    _INCREMENTAL_SQL,
+    doc="Incremental (cross-snapshot) dedup: documents arriving in a new "
+    "crawl increment (modeled as doc_id % 5 = 4, ~20% of the corpus) "
+    "survive only if their content hash was never ingested in the base "
+    "corpus, electing the first-arriving doc per hash within the "
+    "increment. The CCNet/RefinedWeb 'dedup against prior crawls' shape. "
+    "Scale path: the base side is pre-aggregated to DISTINCT hashes "
+    "(map-side combined, far smaller than raw rows) before a LEFT ANTI "
+    "equi-join that AQE can skew-split; in production the base hash set "
+    "lives as a bucketed-by-hash table so only the increment shuffles "
+    "per ingest, and spark.sql.optimizer.runtime.bloomFilter.enabled "
+    "injects a Bloom prefilter into the probe-side scan (Spark's "
+    "runtime row-level filtering) without any driver-side sketch.",
+    tags=("dedup", "pipeline"),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+    base_hashes = d.filter(F.col("doc_id") % 5 != 4).select("content_hash").distinct()
+    inc = d.filter(F.col("doc_id") % 5 == 4)
+    fresh = inc.join(base_hashes, "content_hash", "left_anti")
+    return (
+        fresh.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dups_in_increment"),
+        )
+        .select("doc_id", "content_hash", "n_dups_in_increment")
+        .orderBy("doc_id")
+    )

@@ -463,3 +463,89 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= NEAR_DUP_SIM)
         .select("a_id", "b_id", "sim")
     )
+
+
+K_CLUSTERS = 8  # deterministic seed centroids: the first K vectors by id
+
+_KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt({_DOT.format(a='emb', b='emb')}) AS nrm FROM e),
+c AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < {K_CLUSTERS}),
+sims AS (
+  SELECT n.vec_id, c.cid,
+         ROUND({_DOT.format(a='n.emb', b='c.c_emb')} / (n.nrm * c.c_nrm), 6) AS sim
+  FROM n CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cid, sim FROM sims
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_members, MIN(vec_id) AS min_vec_id,
+       CAST(SUM(CAST(ROUND(sim * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_sim_e6
+FROM assigned GROUP BY cid ORDER BY cid
+"""
+
+
+@register(
+    "kmeans_assign",
+    _KMEANS_SQL,
+    doc="K-means ASSIGNMENT step (the inner loop of Lloyd's algorithm / "
+    "corpus topic-bucketing) over the embedding table: each vector goes "
+    f"to its max-cosine centroid among {K_CLUSTERS} deterministic seeds "
+    f"(the first {K_CLUSTERS} vectors by id), ties to the smaller "
+    "centroid id; output is the per-cluster rollup (members, min id, "
+    "exact sum of 6dp-rounded sims as bigint micro-units — "
+    "order-independent, unlike a double sum). Scale path: the centroid "
+    "set aggregates to ONE broadcast row (sort_array(collect_list) of "
+    f"{K_CLUSTERS} structs), and assignment is a zero-shuffle map-side "
+    "F.aggregate argmax over that array — no per-centroid join "
+    "fan-out, no window over the corpus; the only corpus-sized shuffle "
+    "is the final k-row rollup. Full Lloyd's iterates this step with "
+    "a decimal-exact centroid-mean groupBy per round.",
+    tags=("similarity", "clustering"),
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    cents = (
+        n.filter(F.col("vec_id") < K_CLUSTERS)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.col("emb").alias("c_emb"),
+                F.col("nrm").alias("c_nrm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))  # sorted by cid
+    )
+
+    def _argmax(acc, c):
+        sim = F.round(_dot(F.col("emb"), c["c_emb"]) / (F.col("nrm") * c["c_nrm"]), 6)
+        better = sim > acc["sim"]  # strict: ties keep the earlier (smaller) cid
+        return F.when(
+            better, F.struct(sim.alias("sim"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(-2.0).cast("double").alias("sim"), F.lit(-1).cast("long").alias("cid")
+        ),
+        _argmax,
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", best.alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cluster_id"), F.col("b.sim").alias("sim"))
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum(F.round(F.col("sim") * 1000000, 0).cast("long")).alias("sum_sim_e6"),
+        )
+        .orderBy("cluster_id")
+    )

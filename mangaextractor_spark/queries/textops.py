@@ -9,6 +9,7 @@ rollups.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..session import load_table, spread
@@ -315,3 +316,68 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+# Exact quantiles of a bounded-domain measure (token counts) without a
+# global sort: (p_name, numerator, denominator) — type-1 (discrete)
+# quantile, rank k = ceil(p * n_docs), value = smallest n with
+# cum_count >= k. Pure integer arithmetic in both engines.
+QUANTILE_POINTS = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+
+_QUANT_CASES = ",\n       ".join(
+    f"MIN(CASE WHEN cum >= (n_docs * {num} + {den} - 1) // {den} THEN n END) AS {name}"
+    for name, num, den in QUANTILE_POINTS
+)
+
+_QUANTILES_SQL = f"""
+WITH tok AS (SELECT lang, CAST(len({_WS}) AS BIGINT) AS n FROM documents),
+hist AS (SELECT lang, n, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+cum AS (
+  SELECT lang, n,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+  FROM hist
+)
+SELECT lang, n_docs, {_QUANT_CASES}
+FROM cum GROUP BY lang, n_docs ORDER BY lang
+"""
+
+
+@register(
+    "length_quantiles",
+    _QUANTILES_SQL,
+    doc="EXACT per-language token-count percentiles (p25/p50/p75/p95, "
+    "type-1 discrete quantile) via a grouped histogram — the scalable "
+    "exact-quantile shape for bounded-domain measures: the only "
+    "corpus-sized operation is one map-side-combined groupBy on "
+    "(lang, n); the cumulative window then runs over HISTOGRAM rows "
+    "(cardinality = distinct token counts, bounded by max doc length, "
+    "independent of corpus size), so the window-pin hazard in "
+    "queries/_scale_notes.py does not apply. Percentile ranks are pure "
+    "bigint ceil-division — bit-exact across engines, unlike "
+    "percentile_approx or interpolated percentile_cont.",
+    tags=("text", "stats"),
+)
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.size(words_col(F.col("text"))).cast("long").alias("n"))
+    hist = tok.groupBy("lang", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = W.partitionBy("lang").orderBy("n").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "n",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_docs"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"CAST((n_docs * {num} + {den} - 1) DIV {den} AS BIGINT)"),
+                F.col("n"),
+            )
+        ).alias(name)
+        for name, num, den in QUANTILE_POINTS
+    ]
+    return cum.groupBy("lang", "n_docs").agg(*aggs).orderBy("lang")

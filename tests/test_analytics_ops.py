@@ -1,0 +1,129 @@
+"""Semantics + plan-shape tests for the round-4 analytics additions:
+exact histogram quantiles, incremental (cross-snapshot) dedup, and the
+k-means assignment step.
+
+Each value test recomputes the operator's DEFINITION independently in
+pandas/numpy (not via the SQL oracle — test_queries_oracle already
+covers engine parity), so a shared mistake in both engine programs
+cannot hide.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if w]
+
+
+def test_length_quantiles_matches_type1_definition(spark, sf_small):
+    from mangaextractor_spark.queries.textops import QUANTILE_POINTS, length_quantiles
+
+    got = {r["lang"]: r for r in length_quantiles(spark, sf_small).collect()}
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    docs["n"] = docs["text"].map(lambda t: len(_words(t)))
+    for lang, grp in docs.groupby("lang"):
+        ns = sorted(grp["n"].tolist())
+        row = got[lang]
+        assert row["n_docs"] == len(ns)
+        for name, num, den in QUANTILE_POINTS:
+            k = -(-len(ns) * num // den)  # ceil(p * n)
+            assert row[name] == ns[k - 1], (lang, name)
+
+
+def test_length_quantiles_window_rides_the_histogram(spark, sf_medium):
+    """The cumulative window's input must be the (lang, n) aggregate,
+    never raw document rows: the Window operator sits ABOVE a
+    HashAggregate in the plan."""
+    from mangaextractor_spark.queries.textops import length_quantiles
+
+    plan = (
+        length_quantiles(spark, sf_medium)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    w_pos = plan.index("Window")
+    assert "HashAggregate" in plan[w_pos:], "window input is not pre-aggregated"
+
+
+def test_incremental_dedup_semantics(spark, sf_small):
+    from mangaextractor_spark.queries.dedup import incremental_dedup
+
+    out = incremental_dedup(spark, sf_small).collect()
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    docs["h"] = docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    base_hashes = set(docs.loc[docs.doc_id % 5 != 4, "h"])
+    inc = docs[docs.doc_id % 5 == 4]
+    fresh = inc[~inc.h.isin(base_hashes)]
+    expect = (
+        fresh.groupby("h")
+        .agg(doc_id=("doc_id", "min"), n=("doc_id", "size"))
+        .reset_index()
+    )
+    got = {r["content_hash"]: (r["doc_id"], r["n_dups_in_increment"]) for r in out}
+    assert got == {r.h: (r.doc_id, r.n) for r in expect.itertuples()}
+    # every survivor is from the increment, and none was ever in the base
+    assert all(d % 5 == 4 for d, _ in got.values())
+    assert not (set(got) & base_hashes)
+
+
+def test_kmeans_assign_matches_numpy(spark, sf_small):
+    from mangaextractor_spark.queries.similarity import K_CLUSTERS, kmeans_assign
+
+    out = {r["cluster_id"]: r for r in kmeans_assign(spark, sf_small).collect()}
+
+    def dot(a, b):
+        # sequential-sum doubles: the exact accumulation order Spark's
+        # F.aggregate and DuckDB's list_dot_product use (numpy's @ is
+        # pairwise/SIMD and can differ in ulps)
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    tbl = pq.read_table(f"{sf_small}/embeddings.parquet").to_pandas()
+    tbl = tbl.sort_values("vec_id").reset_index(drop=True)
+    embs = {
+        int(r.vec_id): [float(np.float32(x)) for x in r.embedding] for r in tbl.itertuples()
+    }
+    cents = [(cid, embs[cid], math.sqrt(dot(embs[cid], embs[cid]))) for cid in range(K_CLUSTERS)]
+
+    agg: dict[int, list] = {}
+    for vid, v in embs.items():
+        nrm = math.sqrt(dot(v, v))
+        best = None
+        for cid, c, cnrm in cents:  # ascending cid; strict > keeps the smaller cid on ties
+            sim = round(dot(v, c) / (nrm * cnrm), 6)
+            if best is None or sim > best[0]:
+                best = (sim, cid)
+        sim, cid = best
+        a = agg.setdefault(cid, [0, vid, 0])
+        a[0] += 1
+        a[1] = min(a[1], vid)
+        a[2] += int(round(sim * 1_000_000))
+    assert set(out) == set(agg)
+    for cid, (n, mn, s) in agg.items():
+        r = out[cid]
+        assert (r["n_members"], r["min_vec_id"], r["sum_sim_e6"]) == (n, mn, s), cid
+    assert sum(r["n_members"] for r in out.values()) == len(embs)
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_medium):
+    """No per-centroid join fan-out: the corpus side must reach the
+    argmax without a hash-partitioned exchange — the only hash shuffle
+    is the k-row cluster rollup, and the centroid array arrives as a
+    broadcast single row."""
+    from mangaextractor_spark.queries.similarity import kmeans_assign
+
+    plan = kmeans_assign(spark, sf_medium)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid-array build
+    assert plan.count("Exchange hashpartitioning") == 1  # the rollup only
+    assert "hashpartitioning(vec_id" not in plan
