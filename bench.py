@@ -62,6 +62,10 @@ HEADLINE = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "dedup_embedding_cosine",
+    "kmeans_assign",
+    "kmeans_fit",
+    "incremental_dedup",
+    "length_quantiles",
     "merge_upsert_orders",
     "langid_confusion",
     "token_counts",

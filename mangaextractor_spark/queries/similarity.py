@@ -505,20 +505,39 @@ FROM assigned GROUP BY cid ORDER BY cid
     tags=("similarity", "clustering"),
 )
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normed_embeddings(spark, sf_dir)
+    seeds = n.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    assigned = _assign_to_centroids(n, seeds)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum(F.round(F.col("sim") * 1000000, 0).cast("long")).alias("sum_sim_e6"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    return e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+
+
+def _assign_to_centroids(n: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-side argmax assignment: ``centroids`` (cid, c_emb, c_nrm — k
+    rows) aggregates to ONE broadcast array row; each vector folds over
+    it with F.aggregate. Ties go to the smaller cid (the array is
+    cid-sorted and only a strictly greater sim replaces the best).
+    Returns (vec_id, cluster_id, sim, emb) with zero corpus shuffles."""
     cents = (
-        n.filter(F.col("vec_id") < K_CLUSTERS)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("cid"),
-                F.col("emb").alias("c_emb"),
-                F.col("nrm").alias("c_nrm"),
-            ).alias("c")
-        )
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))  # sorted by cid
+        centroids.select(
+            F.struct(F.col("cid"), F.col("c_emb"), F.col("c_nrm")).alias("c")
+        ).agg(F.sort_array(F.collect_list("c")).alias("cents"))  # sorted by cid
     )
 
     def _argmax(acc, c):
@@ -535,17 +554,137 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _argmax,
     )
-    assigned = (
-        n.crossJoin(F.broadcast(cents))
-        .select("vec_id", best.alias("b"))
-        .select("vec_id", F.col("b.cid").alias("cluster_id"), F.col("b.sim").alias("sim"))
-    )
     return (
-        assigned.groupBy("cluster_id")
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "emb", best.alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cluster_id"),
+            F.col("b.sim").alias("sim"),
+            "emb",
+        )
+    )
+
+
+def _centroid_update(assigned: DataFrame) -> DataFrame:
+    """Lloyd's centroid update over 6dp-quantized member components:
+    per-dimension BIGINT sums (exact, order-independent — a double sum
+    would drift with partitioning) divided once into a double. Empty
+    clusters simply drop out (standard Lloyd's), identically in the SQL
+    oracle. Shuffle: one map-side-combined groupBy on (cluster, dim) —
+    k*dims output rows — then a k-row rebuild."""
+    q = assigned.select(
+        "cluster_id",
+        F.posexplode(
+            F.transform("emb", lambda x: F.round(x * 1000000, 0).cast("long"))
+        ).alias("dim", "qv"),
+    )
+    sums = q.groupBy("cluster_id", "dim").agg(
+        F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    comp = sums.withColumn(
+        "comp", F.col("sq").cast("double") / (F.col("cnt") * F.lit(1000000.0))
+    )
+    rebuilt = comp.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "comp"))), lambda s: s["comp"]
+        ).alias("c_emb")
+    )
+    return rebuilt.select(
+        F.col("cluster_id").alias("cid"),
+        "c_emb",
+        F.sqrt(_dot(F.col("c_emb"), F.col("c_emb"))).alias("c_nrm"),
+    )
+
+
+def _kmeans_sql_assign(cent_cte: str, out: str) -> str:
+    return f"""
+{out}_sims AS (
+  SELECT n.vec_id, c.cid,
+         ROUND({_DOT.format(a='n.emb', b='c.c_emb')} / (n.nrm * c.c_nrm), 6) AS sim
+  FROM n CROSS JOIN {cent_cte} c
+),
+{out} AS (
+  SELECT vec_id, cid, sim FROM {out}_sims
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+)"""
+
+
+_KMEANS_FIT_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt({_DOT.format(a='emb', b='emb')}) AS nrm FROM e),
+c0 AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < {K_CLUSTERS}),
+{_kmeans_sql_assign('c0', 'a1')},
+q1 AS (
+  SELECT a1.cid, d.dim, CAST(ROUND(n.emb[d.dim + 1] * 1000000, 0) AS BIGINT) AS qv
+  FROM a1 JOIN n USING (vec_id) CROSS JOIN range({{dims}}) AS d(dim)
+),
+s1 AS (SELECT cid, dim, SUM(qv) AS sq, COUNT(*) AS cnt FROM q1 GROUP BY 1, 2),
+c1 AS (
+  SELECT cid, LIST(CAST(sq AS DOUBLE) / (cnt * 1000000.0) ORDER BY dim) AS c_emb
+  FROM s1 GROUP BY cid
+),
+c1n AS (SELECT cid, c_emb, sqrt({_DOT.format(a='c_emb', b='c_emb')}) AS c_nrm FROM c1),
+{_kmeans_sql_assign('c1n', 'a2')},
+f AS (
+  SELECT a2.cid, a2.vec_id, a2.sim,
+         CAST(ROUND(n.emb[1] * 1000000, 0) AS BIGINT) AS qv0
+  FROM a2 JOIN n USING (vec_id)
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_members, MIN(vec_id) AS min_vec_id,
+       CAST(SUM(CAST(ROUND(sim * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_sim_e6,
+       CAST(ROUND(CAST(SUM(qv0) AS DOUBLE) / (COUNT(*) * 1000000.0) * 1000000, 0) AS BIGINT)
+         AS next_c0_e6
+FROM f GROUP BY cid ORDER BY cid
+""".format(dims=64)
+
+
+@register(
+    "kmeans_fit",
+    _KMEANS_FIT_SQL,
+    doc="TWO full Lloyd's iterations of k-means over the embedding "
+    f"table (k={K_CLUSTERS}, seeds = first {K_CLUSTERS} vectors by id): "
+    "assign -> centroid update -> reassign, then the per-cluster rollup "
+    "plus the component-0 fingerprint of the NEXT centroid update — so "
+    "the oracle verifies both assignment rounds AND the mean update "
+    "bit-exactly (the SQL unrolls the same two iterations as CTEs). "
+    "Determinism across engines: centroid means are per-dimension "
+    "BIGINT sums of 6dp-quantized components divided ONCE into a "
+    "double (a naive double sum would vary with partition order); "
+    "empty clusters drop out identically on both sides. Scale path: "
+    "each assignment is the map-side broadcast-array argmax of "
+    "kmeans_assign; each update is one map-side-combined groupBy on "
+    "(cluster, dim) emitting k*dims rows; the k-row centroid frame is "
+    "localCheckpoint'ed per round so the plan (and the number of "
+    "corpus scans) stays linear in iterations instead of quadratic.",
+    tags=("similarity", "clustering", "iterative"),
+)
+def kmeans_fit(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFrame:
+    n = _normed_embeddings(spark, sf_dir)
+    cdf = n.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    assigned = None
+    for t in range(iters):
+        assigned = _assign_to_centroids(n, cdf)
+        if t < iters - 1:
+            # k-row frame: materializing it per round keeps every
+            # iteration at one corpus scan (lazy lineage would rerun
+            # all prior rounds' scans each time the plan executes).
+            cdf = _centroid_update(assigned).localCheckpoint()
+    qv0 = F.round(F.col("emb")[0] * 1000000, 0).cast("long")
+    return (
+        assigned.groupBy(F.col("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.min("vec_id").alias("min_vec_id"),
             F.sum(F.round(F.col("sim") * 1000000, 0).cast("long")).alias("sum_sim_e6"),
+            F.round(
+                F.sum(qv0).cast("double") / (F.count(F.lit(1)) * F.lit(1000000.0)) * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("next_c0_e6"),
         )
         .orderBy("cluster_id")
     )

@@ -127,3 +127,69 @@ def test_kmeans_assignment_is_map_side(spark, sf_medium):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid-array build
     assert plan.count("Exchange hashpartitioning") == 1  # the rollup only
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_kmeans_fit_matches_python_lloyds(spark, sf_small):
+    """Two full Lloyd's iterations recomputed independently in python:
+    sequential-sum dot products, argmax with smaller-cid ties, and the
+    quantized-BIGINT centroid mean the engine programs use."""
+    from mangaextractor_spark.queries.similarity import K_CLUSTERS, kmeans_fit
+
+    out = {r["cluster_id"]: r for r in kmeans_fit(spark, sf_small).collect()}
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    tbl = pq.read_table(f"{sf_small}/embeddings.parquet").to_pandas()
+    embs = {
+        int(r.vec_id): [float(np.float32(x)) for x in r.embedding] for r in tbl.itertuples()
+    }
+    nrms = {vid: math.sqrt(dot(v, v)) for vid, v in embs.items()}
+    dims = len(next(iter(embs.values())))
+
+    def assign(cents):
+        # cents: sorted list of (cid, c_emb, c_nrm)
+        a = {}
+        for vid, v in embs.items():
+            best = None
+            for cid, c, cnrm in cents:
+                sim = round(dot(v, c) / (nrms[vid] * cnrm), 6)
+                if best is None or sim > best[0]:
+                    best = (sim, cid)
+            a[vid] = best
+        return a
+
+    def update(a):
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for vid, (_, cid) in a.items():
+            s = sums.setdefault(cid, [0] * dims)
+            counts[cid] = counts.get(cid, 0) + 1
+            for d, x in enumerate(embs[vid]):
+                s[d] += int(round(x * 1_000_000))
+        cents = []
+        for cid in sorted(sums):
+            c = [s / (counts[cid] * 1_000_000.0) for s in sums[cid]]
+            cents.append((cid, c, math.sqrt(dot(c, c))))
+        return cents
+
+    c0 = [(cid, embs[cid], nrms[cid]) for cid in range(K_CLUSTERS)]
+    a2 = assign(update(assign(c0)))
+
+    agg: dict[int, list] = {}
+    for vid, (sim, cid) in a2.items():
+        a = agg.setdefault(cid, [0, vid, 0, 0])
+        a[0] += 1
+        a[1] = min(a[1], vid)
+        a[2] += int(round(sim * 1_000_000))
+        a[3] += int(round(embs[vid][0] * 1_000_000))
+    assert set(out) == set(agg)
+    for cid, (n_mem, mn, ssim, sq0) in agg.items():
+        r = out[cid]
+        next_c0 = int(round(sq0 / (n_mem * 1_000_000.0) * 1_000_000))
+        assert (
+            r["n_members"], r["min_vec_id"], r["sum_sim_e6"], r["next_c0_e6"]
+        ) == (n_mem, mn, ssim, next_c0), cid
