@@ -43,6 +43,7 @@ HEADLINE = [
     "range_selfjoin",
     "window_first_orders",
     "running_value_per_user",
+    "events_sliding_1h",
     "events_hourly",
     "dedup_exact",
     "ngram_jaccard_pairs",

@@ -728,3 +728,44 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("is_order") == 0).select(
         "event_id", "user_id", "ts", "last_orderkey", "last_orderdate"
     )
+
+
+@register(
+    "events_sliding_1h",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="Sliding time-window per entity: for every event, count + sum of "
+    "value over the user's PRECEDING HOUR — a RANGE frame over event "
+    "time (the rows-frame twin is running_value_per_user; a RANGE frame "
+    "includes all timestamp peers and is what 'last N minutes' features "
+    "actually mean). Spark orders by timezone-free epoch micros "
+    "(timestampdiff from the NTZ epoch — ts is TIMESTAMP_NTZ, so no "
+    "session-timezone dependency) with a numeric rangeBetween of "
+    "-3_600_000_000, exactly DuckDB's INTERVAL 1 HOUR "
+    "on microsecond timestamps. The sum runs in DECIMAL inside the "
+    "frame (sliding-window sums may add AND subtract as the frame "
+    "slides — in doubles that drifts, in decimal it is exact), cast to "
+    "double once at the end. Scale: partitioned by user_id — per-entity "
+    "series are the one window shape that cannot be pre-aggregated "
+    "away; state is bounded by one entity's events per task, and a "
+    "pathologically hot entity moves to the streaming twin "
+    "(streaming/windowed.py) or a tumbling pre-agg.",
+    tags=("window", "time"),
+)
+def events_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    micros = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    w = W.partitionBy("user_id").orderBy(micros).rangeBetween(-3_600_000_000, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("value_1h"),
+    ).orderBy("user_id", "event_id")

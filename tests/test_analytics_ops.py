@@ -193,3 +193,30 @@ def test_kmeans_fit_matches_python_lloyds(spark, sf_small):
         assert (
             r["n_members"], r["min_vec_id"], r["sum_sim_e6"], r["next_c0_e6"]
         ) == (n_mem, mn, ssim, next_c0), cid
+
+
+def test_events_sliding_1h_matches_pandas(spark, sf_small):
+    """RANGE-frame semantics recomputed independently: for each event,
+    count/sum over the same user's events in (ts - 1h, ts] inclusive of
+    both endpoints per SQL RANGE ... PRECEDING AND CURRENT ROW."""
+    import datetime as dt
+    import decimal
+
+    from mangaextractor_spark.queries.relational import events_sliding_1h
+
+    out = {r["event_id"]: r for r in events_sliding_1h(spark, sf_small).collect()}
+
+    ev = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    hour = dt.timedelta(hours=1)
+    for user, grp in ev.groupby("user_id"):
+        rows = list(grp.itertuples())
+        for r in rows:
+            inside = [
+                x for x in rows if r.ts - hour <= x.ts <= r.ts
+            ]
+            got = out[r.event_id]
+            assert got["n_1h"] == len(inside), r.event_id
+            exact = sum(
+                decimal.Decimal(str(round(x.value, 4))) for x in inside
+            )
+            assert got["value_1h"] == float(exact), r.event_id
