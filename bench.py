@@ -59,6 +59,7 @@ HEADLINE = [
     "source_quality_rollup",
     "token_rarity_quality",
     "doc_fingerprint",
+    "hll_distinct_tokens",
     "embedding_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",

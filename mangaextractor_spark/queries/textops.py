@@ -381,3 +381,132 @@ def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, num, den in QUANTILE_POINTS
     ]
     return cum.groupBy("lang", "n_docs").agg(*aggs).orderBy("lang")
+
+
+# Deterministic HyperLogLog: b=10 -> m=1024 registers over the portable
+# 60-bit hash (bucket = top 10 bits, rho = leftmost-1 position in the
+# 50-bit suffix). The harmonic sum is kept as a scaled BIGINT
+# (sum of 2^(51-rho); empty registers contribute 2^51) — exact and
+# order-independent, unlike the textbook sum of 2^-rho doubles — and
+# becomes a double in ONE division at the end, so the estimate is
+# bit-identical across engines and partitionings. No small/large-range
+# corrections (documented; the raw estimator is the cross-engine
+# contract here).
+HLL_B = 10
+HLL_M = 1 << HLL_B  # 1024
+_HLL_SUFFIX_BITS = 60 - HLL_B  # 50
+_HLL_MASK = (1 << _HLL_SUFFIX_BITS) - 1
+_HLL_SCALE = 1 << (_HLL_SUFFIX_BITS + 1)  # 2^51: empty-register term
+# alpha_m * m^2 * 2^51, written as the SAME left-associative literal
+# expression in both engines (IEEE ops on identical literals).
+_HLL_NUMERATOR = (
+    f"0.7213 / (1.0 + 1.079 / {float(HLL_M)}) * {float(HLL_M)} * {float(HLL_M)}"
+    f" * {float(_HLL_SCALE)}"
+)
+
+_HLL_SQL = f"""
+WITH toks AS (SELECT lang, UNNEST({_WS}) AS token FROM documents),
+h AS (SELECT lang, token, {phash60_sql('token')} AS hv FROM toks),
+reg AS (
+  SELECT lang, hv >> {_HLL_SUFFIX_BITS} AS bucket,
+         MAX(CASE WHEN (hv & {_HLL_MASK}) = 0 THEN {_HLL_SUFFIX_BITS + 1}
+                  ELSE {_HLL_SUFFIX_BITS + 1} - LENGTH(bin(hv & {_HLL_MASK})) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n_registers,
+         CAST(SUM(1::BIGINT << ({_HLL_SUFFIX_BITS + 1} - rho)) AS BIGINT) AS s_present
+  FROM reg GROUP BY lang
+),
+ex AS (SELECT lang, COUNT(DISTINCT token) AS n_exact FROM toks GROUP BY lang),
+est AS (
+  SELECT ex.lang, ex.n_exact, agg.n_registers,
+         ({_HLL_NUMERATOR})
+           / CAST(({HLL_M} - n_registers) * {_HLL_SCALE}::BIGINT + s_present AS DOUBLE)
+           AS raw_est
+  FROM ex JOIN agg USING (lang)
+),
+corrected AS (
+  SELECT lang, n_exact, n_registers,
+         CASE WHEN n_registers < {HLL_M} AND raw_est <= 2.5 * {float(HLL_M)}
+              THEN {float(HLL_M)} * LN({float(HLL_M)} / CAST({HLL_M} - n_registers AS DOUBLE))
+              ELSE raw_est END AS est
+  FROM est
+)
+SELECT lang, n_exact, n_registers,
+       ROUND(est, 4) AS hll_estimate,
+       CAST(ROUND((est - n_exact) / n_exact * 1000000, 0) AS BIGINT) AS rel_err_e6
+FROM corrected ORDER BY lang
+"""
+
+
+@register(
+    "hll_distinct_tokens",
+    _HLL_SQL,
+    doc="Per-language distinct-token cardinality two ways: exact "
+    "COUNT(DISTINCT) as the verification baseline, and a DETERMINISTIC "
+    f"HyperLogLog (m={HLL_M} registers over the portable 60-bit hash) "
+    "whose estimate is bit-identical across engines AND partitionings: "
+    "the harmonic sum is a scaled-BIGINT sum of 2^(51-rho) — exact, "
+    "order-independent — turned into a double by ONE division, so no "
+    "float accumulation order exists to disagree; rho comes from "
+    "integer/binary-string ops, never floor(log2(x)) (which misrounds "
+    "at power-of-two boundaries). Unlike approx_count_distinct (whose "
+    "HLL++ sketch is engine-private and non-reproducible), this sketch "
+    "is an auditable contract. Scale path: register extraction is "
+    "map-side; the only shuffles are a (lang, bucket) groupBy capped at "
+    f"|langs| * {HLL_M} output rows and the lang rollup — the exact "
+    "column is the one corpus-sized distinct and exists only for "
+    "verification (production drops it and keeps the sketch). The "
+    "standard small-range linear-counting correction (m*ln(m/V) when "
+    "zero registers exist and the raw estimate <= 2.5m) is applied "
+    "identically in both engines — its LN is the one library function "
+    "in the expression; a 1-ulp engine disagreement there is absorbed "
+    "by the 4dp output rounding except on ~1e-10-probability knife "
+    "edges. Large-range correction omitted (needs > 2^57 distincts at "
+    "a 60-bit hash).",
+    tags=("text", "sketch"),
+)
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(words_col(F.col("text"))).alias("token"))
+    hv = phash60(F.col("token"))
+    suffix = hv.bitwiseAND(F.lit(_HLL_MASK))
+    rho = F.when(suffix == 0, F.lit(_HLL_SUFFIX_BITS + 1)).otherwise(
+        F.lit(_HLL_SUFFIX_BITS + 1) - F.length(F.conv(suffix.cast("string"), 10, 2))
+    )
+    reg = (
+        toks.select("lang", F.shiftright(hv, _HLL_SUFFIX_BITS).alias("bucket"), rho.alias("rho"))
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = reg.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SUFFIX_BITS + 1} - rho)")
+        ).alias("s_present"),
+    )
+    ex = toks.groupBy("lang").agg(F.count_distinct("token").alias("n_exact"))
+    numerator = F.expr(_HLL_NUMERATOR)
+    s_total = (
+        (F.lit(HLL_M) - F.col("n_registers")) * F.lit(_HLL_SCALE) + F.col("s_present")
+    ).cast("double")
+    raw_est = numerator / s_total
+    n_zero = (F.lit(HLL_M) - F.col("n_registers")).cast("double")
+    est = F.when(
+        (F.col("n_registers") < HLL_M) & (raw_est <= 2.5 * float(HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_zero),
+    ).otherwise(raw_est)
+    return (
+        ex.join(agg, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            "n_registers",
+            F.round(est, 4).alias("hll_estimate"),
+            F.round((est - F.col("n_exact")) / F.col("n_exact") * 1000000, 0)
+            .cast("long")
+            .alias("rel_err_e6"),
+        )
+        .orderBy("lang")
+    )

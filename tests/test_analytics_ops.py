@@ -220,3 +220,50 @@ def test_events_sliding_1h_matches_pandas(spark, sf_small):
                 decimal.Decimal(str(round(x.value, 4))) for x in inside
             )
             assert got["value_1h"] == float(exact), r.event_id
+
+
+def test_hll_distinct_tokens_matches_python_hll(spark, sf_small):
+    """Registers and estimate recomputed independently: portable 60-bit
+    md5 hash, bucket/rho bit ops, scaled-BIGINT harmonic sum, linear
+    counting in the small range."""
+    from mangaextractor_spark.queries.textops import (
+        HLL_B,
+        HLL_M,
+        hll_distinct_tokens,
+    )
+
+    out = {r["lang"]: r for r in hll_distinct_tokens(spark, sf_small).collect()}
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    suffix_bits = 60 - HLL_B
+    mask = (1 << suffix_bits) - 1
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for r in docs.itertuples():
+        for tok in _words(r.text):
+            exact.setdefault(r.lang, set()).add(tok)
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            bucket, rest = h >> suffix_bits, h & mask
+            rho = suffix_bits + 1 - rest.bit_length() if rest else suffix_bits + 1
+            lr = regs.setdefault(r.lang, {})
+            lr[bucket] = max(lr.get(bucket, 0), rho)
+    for lang, lr in regs.items():
+        s = (HLL_M - len(lr)) * (1 << (suffix_bits + 1)) + sum(
+            1 << (suffix_bits + 1 - rho) for rho in lr.values()
+        )
+        raw = (
+            0.7213 / (1.0 + 1.079 / float(HLL_M)) * float(HLL_M) * float(HLL_M)
+            * float(1 << (suffix_bits + 1))
+        ) / float(s)
+        n_zero = HLL_M - len(lr)
+        est = (
+            float(HLL_M) * math.log(float(HLL_M) / float(n_zero))
+            if n_zero > 0 and raw <= 2.5 * HLL_M
+            else raw
+        )
+        row = out[lang]
+        assert row["n_exact"] == len(exact[lang])
+        assert row["n_registers"] == len(lr)
+        assert row["hll_estimate"] == round(est, 4), lang
+        # the sketch is a real estimator: within 10% here
+        assert abs(row["rel_err_e6"]) < 100_000, (lang, row["rel_err_e6"])
