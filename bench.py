@@ -60,6 +60,7 @@ HEADLINE = [
     "token_rarity_quality",
     "doc_fingerprint",
     "hll_distinct_tokens",
+    "cm_heavy_hitters",
     "embedding_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",

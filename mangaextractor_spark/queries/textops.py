@@ -510,3 +510,124 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Count-Min sketch: d independent portable hashes (salted md5), w
+# counters each. Counters are exact integer sums -> the whole sketch is
+# deterministic and mergeable (add counters cell-wise); the estimate is
+# min over d cells, always >= the true count. Small w/d here so the
+# fixture corpus exercises collisions; production sizes w ~ 2^20+.
+CM_D = 4
+CM_W = 64
+
+
+def _cm_hash(token: F.Column, salt: int) -> F.Column:
+    return F.pmod(phash60(F.concat(F.lit(f"cm{salt}:"), token)), F.lit(CM_W))
+
+
+def _cm_hash_sql(expr: str, salt: int) -> str:
+    salted = f"'cm{salt}:' || {expr}"
+    return f"{phash60_sql(salted)} % {CM_W}"
+
+
+TOP_HITTERS = 20
+
+_CM_CELLS_UNION = "\n      UNION ALL ".join(
+    f"SELECT {i} AS row_id, {_cm_hash_sql('token', i)} AS col_id FROM toks"
+    for i in range(CM_D)
+)
+
+_CM_PROBE = ",\n       ".join(
+    f"{_cm_hash_sql('token', i)} AS col_{i}" for i in range(CM_D)
+)
+
+_CM_SQL = f"""
+WITH toks AS (SELECT UNNEST({_WS}) AS token FROM documents),
+cells AS (
+  {_CM_CELLS_UNION}
+),
+counters AS (SELECT row_id, col_id, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+truth AS (SELECT token, COUNT(*) AS n_true FROM toks GROUP BY token),
+top AS (
+  SELECT token, n_true FROM truth
+  ORDER BY n_true DESC, token LIMIT {TOP_HITTERS}
+),
+probe AS (
+  SELECT token, n_true,
+       {_CM_PROBE}
+  FROM top
+),
+est AS (
+  SELECT p.token, p.n_true,
+         LEAST({", ".join(f"(SELECT c FROM counters WHERE row_id = {i} AND col_id = p.col_{i})" for i in range(CM_D))})
+           AS cm_estimate
+  FROM probe p
+)
+SELECT token, n_true, CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - n_true AS BIGINT) AS overestimate
+FROM est ORDER BY n_true DESC, token
+"""
+
+
+@register(
+    "cm_heavy_hitters",
+    _CM_SQL,
+    doc=f"Heavy hitters via a Count-Min sketch (d={CM_D} salted portable "
+    f"hashes x w={CM_W} counters; production sizes are w ~ 2^20+, the "
+    "small grid here forces visible collisions): the corpus top-"
+    f"{TOP_HITTERS} tokens by TRUE count, each with its CM estimate = "
+    "min over the d cells — provably >= the true count, and "
+    "deterministic because every counter is an exact integer sum "
+    "(no float anywhere), so the sketch is bit-identical across "
+    "engines, partitionings, AND merges (cell-wise addition — the "
+    "property that lets a 1000-executor job sketch per partition and "
+    "combine). Scale path: cell extraction is map-side (d cells per "
+    "token occurrence), counters collapse to <= d*w rows via one "
+    "map-side-combined groupBy; the probe side is the tiny top-k "
+    "joined against broadcast counters. The exact 'truth' column is "
+    "the verification baseline (production keeps only the sketch).",
+    tags=("text", "sketch"),
+)
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(words_col(F.col("text"))).alias("token"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"), _cm_hash(F.col("token"), i).alias("col_id")
+                    )
+                    for i in range(CM_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.row_id", "cell.col_id")
+    counters = cells.groupBy("row_id", "col_id").agg(F.count(F.lit(1)).alias("c"))
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    top = truth.orderBy(F.desc("n_true"), "token").limit(TOP_HITTERS)
+    probe = top.select(
+        "token",
+        "n_true",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"), _cm_hash(F.col("token"), i).alias("col_id")
+                    )
+                    for i in range(CM_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "n_true", "cell.row_id", "cell.col_id")
+    est = (
+        probe.join(F.broadcast(counters), ["row_id", "col_id"])
+        .groupBy("token", "n_true")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        "token",
+        "n_true",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("n_true")).alias("overestimate"),
+    ).orderBy(F.desc("n_true"), "token")

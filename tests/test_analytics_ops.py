@@ -267,3 +267,37 @@ def test_hll_distinct_tokens_matches_python_hll(spark, sf_small):
         assert row["hll_estimate"] == round(est, 4), lang
         # the sketch is a real estimator: within 10% here
         assert abs(row["rel_err_e6"]) < 100_000, (lang, row["rel_err_e6"])
+
+
+def test_cm_heavy_hitters_matches_python_sketch(spark, sf_small):
+    """Count-Min recomputed independently: salted portable hashes,
+    integer counters, min-over-rows estimate, CM >= truth invariant."""
+    from collections import Counter
+
+    from mangaextractor_spark.queries.textops import (
+        CM_D,
+        CM_W,
+        TOP_HITTERS,
+        cm_heavy_hitters,
+    )
+
+    rows = cm_heavy_hitters(spark, sf_small).collect()
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    toks = [t for txt in docs["text"] for t in _words(txt)]
+    truth = Counter(toks)
+    counters: Counter = Counter()
+    def cell(tok, i):
+        h = int(hashlib.md5(f"cm{i}:{tok}".encode()).hexdigest()[:15], 16)
+        return (i, h % CM_W)
+    for t in toks:
+        for i in range(CM_D):
+            counters[cell(t, i)] += 1
+    top = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_HITTERS]
+    expect = [
+        (tok, n, min(counters[cell(tok, i)] for i in range(CM_D)))
+        for tok, n in top
+    ]
+    got = [(r["token"], r["n_true"], r["cm_estimate"]) for r in rows]
+    assert got == expect
+    assert all(r["overestimate"] >= 0 for r in rows)  # CM never undercounts
