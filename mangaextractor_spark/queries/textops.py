@@ -467,19 +467,38 @@ FROM corrected ORDER BY lang
     "a 60-bit hash).",
     tags=("text", "sketch"),
 )
-def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("lang", F.explode(words_col(F.col("text"))).alias("token"))
+def hll_token_registers(toks: DataFrame) -> DataFrame:
+    """(lang, token) rows -> raw (lang, bucket, rho) register
+    observations, all map-side Column expressions. Shared by the batch
+    query and the streaming twin (streaming/hll.py) so the sketch
+    contract cannot diverge."""
     hv = phash60(F.col("token"))
     suffix = hv.bitwiseAND(F.lit(_HLL_MASK))
     rho = F.when(suffix == 0, F.lit(_HLL_SUFFIX_BITS + 1)).otherwise(
         F.lit(_HLL_SUFFIX_BITS + 1) - F.length(F.conv(suffix.cast("string"), 10, 2))
     )
-    reg = (
-        toks.select("lang", F.shiftright(hv, _HLL_SUFFIX_BITS).alias("bucket"), rho.alias("rho"))
-        .groupBy("lang", "bucket")
-        .agg(F.max("rho").alias("rho"))
+    return toks.select(
+        "lang", F.shiftright(hv, _HLL_SUFFIX_BITS).alias("bucket"), rho.alias("rho")
     )
+
+
+def hll_estimate_cols(n_registers: F.Column, s_present: F.Column) -> F.Column:
+    """Deterministic HLL estimate from (register count, scaled-BIGINT
+    harmonic sum): one double division + the linear-counting branch."""
+    numerator = F.expr(_HLL_NUMERATOR)
+    s_total = ((F.lit(HLL_M) - n_registers) * F.lit(_HLL_SCALE) + s_present).cast("double")
+    raw_est = numerator / s_total
+    n_zero = (F.lit(HLL_M) - n_registers).cast("double")
+    return F.when(
+        (n_registers < HLL_M) & (raw_est <= 2.5 * float(HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_zero),
+    ).otherwise(raw_est)
+
+
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(words_col(F.col("text"))).alias("token"))
+    reg = hll_token_registers(toks).groupBy("lang", "bucket").agg(F.max("rho").alias("rho"))
     agg = reg.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_registers"),
         F.sum(
@@ -487,16 +506,7 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_present"),
     )
     ex = toks.groupBy("lang").agg(F.count_distinct("token").alias("n_exact"))
-    numerator = F.expr(_HLL_NUMERATOR)
-    s_total = (
-        (F.lit(HLL_M) - F.col("n_registers")) * F.lit(_HLL_SCALE) + F.col("s_present")
-    ).cast("double")
-    raw_est = numerator / s_total
-    n_zero = (F.lit(HLL_M) - F.col("n_registers")).cast("double")
-    est = F.when(
-        (F.col("n_registers") < HLL_M) & (raw_est <= 2.5 * float(HLL_M)),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_zero),
-    ).otherwise(raw_est)
+    est = hll_estimate_cols(F.col("n_registers"), F.col("s_present"))
     return (
         ex.join(agg, "lang")
         .select(
