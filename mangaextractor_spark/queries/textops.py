@@ -440,33 +440,6 @@ FROM corrected ORDER BY lang
 """
 
 
-@register(
-    "hll_distinct_tokens",
-    _HLL_SQL,
-    doc="Per-language distinct-token cardinality two ways: exact "
-    "COUNT(DISTINCT) as the verification baseline, and a DETERMINISTIC "
-    f"HyperLogLog (m={HLL_M} registers over the portable 60-bit hash) "
-    "whose estimate is bit-identical across engines AND partitionings: "
-    "the harmonic sum is a scaled-BIGINT sum of 2^(51-rho) — exact, "
-    "order-independent — turned into a double by ONE division, so no "
-    "float accumulation order exists to disagree; rho comes from "
-    "integer/binary-string ops, never floor(log2(x)) (which misrounds "
-    "at power-of-two boundaries). Unlike approx_count_distinct (whose "
-    "HLL++ sketch is engine-private and non-reproducible), this sketch "
-    "is an auditable contract. Scale path: register extraction is "
-    "map-side; the only shuffles are a (lang, bucket) groupBy capped at "
-    f"|langs| * {HLL_M} output rows and the lang rollup — the exact "
-    "column is the one corpus-sized distinct and exists only for "
-    "verification (production drops it and keeps the sketch). The "
-    "standard small-range linear-counting correction (m*ln(m/V) when "
-    "zero registers exist and the raw estimate <= 2.5m) is applied "
-    "identically in both engines — its LN is the one library function "
-    "in the expression; a 1-ulp engine disagreement there is absorbed "
-    "by the 4dp output rounding except on ~1e-10-probability knife "
-    "edges. Large-range correction omitted (needs > 2^57 distincts at "
-    "a 60-bit hash).",
-    tags=("text", "sketch"),
-)
 def hll_token_registers(toks: DataFrame) -> DataFrame:
     """(lang, token) rows -> raw (lang, bucket, rho) register
     observations, all map-side Column expressions. Shared by the batch
@@ -495,6 +468,33 @@ def hll_estimate_cols(n_registers: F.Column, s_present: F.Column) -> F.Column:
     ).otherwise(raw_est)
 
 
+@register(
+    "hll_distinct_tokens",
+    _HLL_SQL,
+    doc="Per-language distinct-token cardinality two ways: exact "
+    "COUNT(DISTINCT) as the verification baseline, and a DETERMINISTIC "
+    f"HyperLogLog (m={HLL_M} registers over the portable 60-bit hash) "
+    "whose estimate is bit-identical across engines AND partitionings: "
+    "the harmonic sum is a scaled-BIGINT sum of 2^(51-rho) — exact, "
+    "order-independent — turned into a double by ONE division, so no "
+    "float accumulation order exists to disagree; rho comes from "
+    "integer/binary-string ops, never floor(log2(x)) (which misrounds "
+    "at power-of-two boundaries). Unlike approx_count_distinct (whose "
+    "HLL++ sketch is engine-private and non-reproducible), this sketch "
+    "is an auditable contract. Scale path: register extraction is "
+    "map-side; the only shuffles are a (lang, bucket) groupBy capped at "
+    f"|langs| * {HLL_M} output rows and the lang rollup — the exact "
+    "column is the one corpus-sized distinct and exists only for "
+    "verification (production drops it and keeps the sketch). The "
+    "standard small-range linear-counting correction (m*ln(m/V) when "
+    "zero registers exist and the raw estimate <= 2.5m) is applied "
+    "identically in both engines — its LN is the one library function "
+    "in the expression; a 1-ulp engine disagreement there is absorbed "
+    "by the 4dp output rounding except on ~1e-10-probability knife "
+    "edges. Large-range correction omitted (needs > 2^57 distincts at "
+    "a 60-bit hash).",
+    tags=("text", "sketch"),
+)
 def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("lang", F.explode(words_col(F.col("text"))).alias("token"))
