@@ -40,6 +40,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
+    "regional_revenue",
     "range_selfjoin",
     "window_first_orders",
     "running_value_per_user",

@@ -769,3 +769,59 @@ def events_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("value_1h"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "regional_revenue",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE s.s_nationkey = c.c_nationkey
+    GROUP BY n.n_name, r.r_name
+    ORDER BY nation
+    """,
+    doc="TPC-H Q5-shaped local-supplier revenue: a six-table join "
+    "(lineitem-orders-customer-supplier-nation-region) keeping only "
+    "lineitems whose supplier sits in the customer's nation, rolled up "
+    "to nation/region revenue in DECIMAL (exact, order-independent) "
+    "cast to DOUBLE once. Scale path: the dimension chain "
+    "(supplier/customer/nation/region) broadcasts — the fact table "
+    "shuffles only for the lineitem-orders equi-join (the one "
+    "unavoidable fact-to-fact exchange, AQE-splittable) and never for "
+    "a dimension; Catalyst pushes the join ordering, and the final "
+    "rollup has |nations| output rows with map-side combine.",
+    tags=("join", "agg"),
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(e * (1 - d)).cast("double").alias("revenue"),
+        )
+        .orderBy("nation")
+    )

@@ -301,3 +301,16 @@ def test_cm_heavy_hitters_matches_python_sketch(spark, sf_small):
     got = [(r["token"], r["n_true"], r["cm_estimate"]) for r in rows]
     assert got == expect
     assert all(r["overestimate"] >= 0 for r in rows)  # CM never undercounts
+
+
+def test_regional_revenue_broadcasts_dimensions(spark, sf_medium):
+    """The dimension chain must broadcast — the fact table never
+    shuffles on a dimension key."""
+    from mangaextractor_spark.queries.relational import regional_revenue
+
+    plan = (
+        regional_revenue(spark, sf_medium)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "hashpartitioning(c_custkey" not in plan
+    assert "hashpartitioning(l_suppkey" not in plan
