@@ -641,3 +641,86 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         (F.col("cm_estimate") - F.col("n_true")).alias("overestimate"),
     ).orderBy(F.desc("n_true"), "token")
+
+
+_MAD_SQL = f"""
+WITH tok AS (SELECT lang, CAST(len({_WS}) AS BIGINT) AS n FROM documents),
+hist AS (SELECT lang, n, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+cum AS (
+  SELECT lang, n,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+  FROM hist
+),
+med AS (
+  SELECT lang, n_docs,
+         MIN(CASE WHEN cum >= (n_docs + 1) // 2 THEN n END) AS median
+  FROM cum GROUP BY lang, n_docs
+),
+dev AS (
+  SELECT t.lang, ABS(t.n - m.median) AS d, m.n_docs, m.median
+  FROM tok t JOIN med m USING (lang)
+),
+dhist AS (SELECT lang, n_docs, median, d, COUNT(*) AS cnt FROM dev GROUP BY 1, 2, 3, 4),
+dcum AS (
+  SELECT lang, n_docs, median, d,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY d
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dhist
+)
+SELECT lang, n_docs, median,
+       MIN(CASE WHEN cum >= (n_docs + 1) // 2 THEN d END) AS mad
+FROM dcum GROUP BY lang, n_docs, median ORDER BY lang
+"""
+
+
+@register(
+    "length_mad",
+    _MAD_SQL,
+    doc="EXACT per-language median absolute deviation of token counts — "
+    "the robust outlier statistic quality filters cut on (|n - median| "
+    "> k*MAD survives heavy tails where stddev does not). Two grouped-"
+    "histogram passes, both under the length_quantiles scale shape: "
+    "each pass's only corpus-sized op is a map-side-combined groupBy "
+    "on (lang, value); the cumulative windows ride histogram rows "
+    "(bounded by the value domain, not the corpus); the per-lang median "
+    "joins back as a broadcast-sized dimension. Pure integer arithmetic "
+    "end to end (type-1 medians, integer |deviation|) — bit-exact "
+    "across engines with no float anywhere.",
+    tags=("text", "stats"),
+)
+def length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.size(words_col(F.col("text"))).cast("long").alias("n"))
+
+    def _median_of(vals: DataFrame, col: str, extra: list[str]) -> DataFrame:
+        hist = vals.groupBy("lang", *extra, col).agg(F.count(F.lit(1)).alias("cnt"))
+        w_cum = (
+            W.partitionBy("lang", *extra)
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        w_all = W.partitionBy("lang", *extra)
+        cum = hist.select(
+            "lang",
+            *extra,
+            col,
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n_all"),
+        )
+        rank = F.expr("CAST((n_all + 1) DIV 2 AS BIGINT)")
+        return cum.groupBy("lang", *extra, "n_all").agg(
+            F.min(F.when(F.col("cum") >= rank, F.col(col))).alias(f"median_{col}")
+        )
+
+    med = _median_of(tok, "n", []).select(
+        "lang", F.col("n_all").alias("n_docs"), F.col("median_n").alias("median")
+    )
+    dev = tok.join(F.broadcast(med), "lang").select(
+        "lang", "n_docs", "median", F.abs(F.col("n") - F.col("median")).alias("d")
+    )
+    mad = _median_of(dev, "d", ["n_docs", "median"])
+    return mad.select("lang", "n_docs", "median", F.col("median_d").alias("mad")).orderBy(
+        "lang"
+    )

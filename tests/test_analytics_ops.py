@@ -314,3 +314,22 @@ def test_regional_revenue_broadcasts_dimensions(spark, sf_medium):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "hashpartitioning(c_custkey" not in plan
     assert "hashpartitioning(l_suppkey" not in plan
+
+
+def test_length_mad_matches_type1_definition(spark, sf_small):
+    from mangaextractor_spark.queries.textops import length_mad
+
+    got = {r["lang"]: r for r in length_mad(spark, sf_small).collect()}
+
+    def med1(vals):  # type-1 median: element at rank ceil(n/2)
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1]
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    docs["n"] = docs["text"].map(lambda t: len(_words(t)))
+    for lang, grp in docs.groupby("lang"):
+        ns = grp["n"].tolist()
+        m = med1(ns)
+        mad = med1([abs(x - m) for x in ns])
+        row = got[lang]
+        assert (row["n_docs"], row["median"], row["mad"]) == (len(ns), m, mad), lang
