@@ -51,6 +51,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash",
     "dedup_clusters",
+    "near_dup_pagerank",
     "repeated_ngram_stats",
     "bm25_topk",
     "main_content_spans",

@@ -710,3 +710,104 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content_hash", "n_dups_in_increment")
         .orderBy("doc_id")
     )
+
+
+PR_ITERS = 2
+PR_TOP = 20
+
+_PR_SQL = (
+    _MINHASH_CTE
+    + f"""
+    , sig AS (
+      SELECT doc_id, perm // {BAND_SIZE} AS band,
+             STRING_AGG(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS band_sig
+      FROM mh GROUP BY doc_id, perm // {BAND_SIZE}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS pr FROM deg),
+    c1 AS (
+      SELECT e.dst AS node, CAST(SUM(r.pr // r.deg) AS BIGINT) AS s
+      FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT d.node, d.deg,
+             CAST(150000 + (850 * COALESCE(c1.s, 0)) // 1000 AS BIGINT) AS pr
+      FROM deg d LEFT JOIN c1 USING (node)
+    ),
+    c2 AS (
+      SELECT e.dst AS node, CAST(SUM(r.pr // r.deg) AS BIGINT) AS s
+      FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT d.node, d.deg,
+             CAST(150000 + (850 * COALESCE(c2.s, 0)) // 1000 AS BIGINT) AS pr
+      FROM deg d LEFT JOIN c2 USING (node)
+    )
+    SELECT node, deg, pr FROM r2 ORDER BY pr DESC, node LIMIT {PR_TOP}
+    """
+)
+
+
+@register(
+    "near_dup_pagerank",
+    _PR_SQL,
+    doc=f"INTEGER PageRank ({PR_ITERS} unrolled iterations, damping "
+    "0.85) over the undirected LSH candidate graph — ranks the most "
+    "'connected' documents in near-dup neighborhoods (the triage view "
+    "for template farms and mirror clusters, where dedup_clusters only "
+    "says WHICH docs cluster). Determinism: ranks live in e6-scaled "
+    "BIGINTs; each contribution is pr DIV deg and each update is "
+    "150000 + (850 * sum) DIV 1000 — pure integer floor arithmetic, "
+    "identical in both engines, no float ever (a double PageRank's sum "
+    "order would drift with partitioning). Dangling mass: none (every "
+    "node in an undirected edge set has deg >= 1); per-node "
+    "contribution sums are bounded by deg_max * 1e6, so 850x fits "
+    "BIGINT for any real graph. Scale shape: per iteration one "
+    "edges-ranks equi-join + one map-side-combined groupBy on dst "
+    "(both AQE-skew-splittable; a hot node is a hot JOIN key, never a "
+    "window pin); the rank frame is localCheckpoint'ed per round so "
+    "plans stay linear in iterations (same discipline as "
+    "connected_components and kmeans_fit).",
+    tags=("dedup", "graph", "iterative"),
+)
+def near_dup_pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    edges = edges.localCheckpoint()  # LSH subtree executes once, not once per round
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("node", "deg", F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"), F.expr("pr DIV deg").alias("c")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (F.lit(150000) + F.expr("(850 * coalesce(s, CAST(0 AS BIGINT))) DIV 1000"))
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.orderBy(F.desc("pr"), "node").limit(PR_TOP).select("node", "deg", "pr")

@@ -825,3 +825,60 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _prio_alias(p: str) -> str:
+    return "p" + p[0]
+
+
+_PIVOT_SQL = (
+    "SELECT o_orderstatus,\n"
+    + ",\n".join(
+        "       COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END)"
+        " AS {a}".format(p=p, a=_prio_alias(p))
+        for p in PIVOT_PRIORITIES
+    )
+    + ",\n       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'"
+    " THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS urgent_value\n"
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+)
+
+
+@register(
+    "orders_priority_pivot",
+    _PIVOT_SQL,
+    doc="Pivot (long -> wide): order counts per status spread across "
+    "priority columns via groupBy().pivot() with an EXPLICIT value list "
+    "— the Spark API every BI consumer reaches for, compiled to the "
+    "same single-shuffle conditional aggregation the oracle spells out "
+    "as CASE WHENs. The explicit pivot values matter twice: without "
+    "them Spark runs an extra distinct-scan job to discover the "
+    "domain, and an unbounded discovered domain is a schema-explosion "
+    "hazard at scale (the column count is the pivot domain's "
+    "cardinality — keep it bounded and declared). NULL cells are "
+    "coalesced to 0 on both sides; the one value column (urgent "
+    "revenue) sums in DECIMAL.",
+    tags=("agg", "pivot"),
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("v"),
+        )
+    )
+    cols = [
+        F.coalesce(F.col(f"`{p}_n`"), F.lit(0)).alias(_prio_alias(p))
+        for p in PIVOT_PRIORITIES
+    ]
+    return wide.select(
+        "o_orderstatus",
+        *cols,
+        F.col("`1-URGENT_v`").cast("double").alias("urgent_value"),
+    ).orderBy("o_orderstatus")

@@ -333,3 +333,37 @@ def test_length_mad_matches_type1_definition(spark, sf_small):
         mad = med1([abs(x - m) for x in ns])
         row = got[lang]
         assert (row["n_docs"], row["median"], row["mad"]) == (len(ns), m, mad), lang
+
+
+def test_near_dup_pagerank_matches_python(spark, sf_small):
+    """Integer-PageRank logic recomputed independently over the same
+    candidate graph (pairs come from minhash_lsh_pairs, which has its
+    own oracle + tests — the independence boundary here is the rank
+    arithmetic)."""
+    from mangaextractor_spark.queries.dedup import (
+        PR_ITERS,
+        PR_TOP,
+        minhash_lsh_pairs,
+        near_dup_pagerank,
+    )
+
+    got = [(r["node"], r["deg"], r["pr"]) for r in near_dup_pagerank(spark, sf_small).collect()]
+
+    pairs = [(r.a_id, r.b_id) for r in minhash_lsh_pairs(spark, sf_small).collect()]
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    pr = {n: 1_000_000 for n in adj}
+    for _ in range(PR_ITERS):
+        s = {n: 0 for n in adj}
+        for n, vs in adj.items():
+            c = pr[n] // deg[n]
+            for v in vs:
+                s[v] += c
+        pr = {n: 150_000 + (850 * s[n]) // 1000 for n in adj}
+    expect = sorted(((n, deg[n], pr[n]) for n in adj), key=lambda t: (-t[2], t[0]))[:PR_TOP]
+    assert got == expect
+    # rank mass sanity: every node's rank stays within the damped band
+    assert all(p >= 150_000 for _, _, p in got)

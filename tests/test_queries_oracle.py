@@ -59,6 +59,17 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 
 
+def _driver_hash(pdf: pd.DataFrame) -> str:
+    import hashlib
+
+    pdf = pdf[sorted(pdf.columns)]
+    return hashlib.md5(
+        "\n".join(
+            sorted(repr(tuple(r)) for r in pdf.itertuples(index=False, name=None))
+        ).encode()
+    ).hexdigest()
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_medium, name):
     qd = REGISTRY[name]
@@ -80,6 +91,15 @@ def test_query_matches_oracle(spark, sf_medium, name):
             if first_bad is None:
                 first_bad = (i, a, b)
     assert n_bad == 0, f"{name}: {n_bad}/{len(s_rows)} rows differ; first: {first_bad}"
+    # the driver's ACTUAL comparison: md5 over sorted raw-row reprs —
+    # repr('100') != repr(100.0), so a dtype drift (e.g. a DuckDB SUM
+    # returning HUGEINT -> float64 against a Spark BIGINT) fails HERE
+    # even though the coerced value compare above tolerates it
+    assert _driver_hash(sdf) == _driver_hash(odf), (
+        f"{name}: value-coerced rows match but the driver's repr-hash "
+        f"differs — dtype drift between engines (check column dtypes: "
+        f"{sdf.dtypes.to_dict()} vs {odf.dtypes.to_dict()})"
+    )
 
 
 def test_rows_only_queries_run(spark, sf_medium):
