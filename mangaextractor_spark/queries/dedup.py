@@ -811,3 +811,99 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -
             .localCheckpoint()
         )
     return ranks.orderBy(F.desc("pr"), "node").limit(PR_TOP).select("node", "deg", "pr")
+
+
+_ACC_SQL = (
+    _MINHASH_CTE
+    + f"""
+    , sig AS (
+      SELECT doc_id, perm // {BAND_SIZE} AS band,
+             STRING_AGG(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS band_sig
+      FROM mh GROUP BY doc_id, perm // {BAND_SIZE}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sigs AS (SELECT doc_id, LIST(minhash ORDER BY perm) AS s FROM mh GROUP BY doc_id),
+    sets AS (SELECT doc_id, list_distinct(hl) AS sh FROM hs),
+    j AS (
+      SELECT p.a_id, p.b_id,
+             CAST(len(list_filter(range({N_PERMS}),
+                                  i -> sa.s[i + 1] = sb.s[i + 1])) AS BIGINT) AS n_match,
+             CAST(len(list_intersect(ta.sh, tb.sh)) AS BIGINT) AS n_inter,
+             CAST(len(ta.sh) + len(tb.sh) AS BIGINT) AS n_sum
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.a_id
+      JOIN sigs sb ON sb.doc_id = p.b_id
+      JOIN sets ta ON ta.doc_id = p.a_id
+      JOIN sets tb ON tb.doc_id = p.b_id
+    )
+    SELECT a_id, b_id, n_match,
+           ROUND(n_match * 1.0 / {N_PERMS}, 6) AS est_jaccard,
+           ROUND(n_inter * 1.0 / (n_sum - n_inter), 6) AS true_jaccard,
+           CAST(ROUND((ROUND(n_match * 1.0 / {N_PERMS}, 6)
+                       - ROUND(n_inter * 1.0 / (n_sum - n_inter), 6)) * 1000000, 0)
+                AS BIGINT) AS err_e6
+    FROM j ORDER BY a_id, b_id
+    """
+)
+
+
+@register(
+    "minhash_jaccard_accuracy",
+    _ACC_SQL,
+    doc="Sketch CALIBRATION report: for every LSH candidate pair, the "
+    f"MinHash similarity estimate (matching signature positions / "
+    f"{N_PERMS}) next to the TRUE distinct-shingle Jaccard and the "
+    "signed error in e6 units — the quality-control view that tells a "
+    "pipeline operator whether the configured permutation count is "
+    "adequate before trusting the dedup ladder at full scale. Both "
+    "numbers are one double division of exact integers (bit-stable); "
+    "the comparison runs ONLY on candidate pairs, so the cost is "
+    "O(|candidates|) with broadcast-free equi-joins on doc_id — the "
+    "full-corpus version of this audit is exactly what you sample, and "
+    "the operator parameterizes to a sampled pair set unchanged.",
+    tags=("dedup", "sketch", "stats"),
+)
+def minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hs = _hashed_shingles(spark, sf_dir)
+    base = hs.select(
+        "doc_id",
+        F.array(*_minhash_cols()).alias("s"),
+        F.array_distinct("hl").alias("sh"),
+    )
+    pairs = lsh_band_pairs(hs).select("a_id", "b_id")
+    a = base.select(
+        F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"), F.col("sh").alias("a_sh")
+    )
+    b = base.select(
+        F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"), F.col("sh").alias("b_sh")
+    )
+    j = pairs.join(a, "a_id").join(b, "b_id")
+    n_match = F.size(
+        F.filter(F.zip_with("a_s", "b_s", lambda x, y: x == y), lambda v: v)
+    ).cast("long")
+    n_inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("long")
+    n_sum = (F.size("a_sh") + F.size("b_sh")).cast("long")
+    est = F.round(F.col("n_match") * F.lit(1.0) / F.lit(N_PERMS), 6)
+    true = F.round(F.col("n_inter") * F.lit(1.0) / (F.col("n_sum") - F.col("n_inter")), 6)
+    return (
+        j.select(
+            "a_id",
+            "b_id",
+            n_match.alias("n_match"),
+            n_inter.alias("n_inter"),
+            n_sum.alias("n_sum"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "n_match",
+            est.alias("est_jaccard"),
+            true.alias("true_jaccard"),
+            F.round((est - true) * 1000000, 0).cast("long").alias("err_e6"),
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -367,3 +367,38 @@ def test_near_dup_pagerank_matches_python(spark, sf_small):
     assert got == expect
     # rank mass sanity: every node's rank stays within the damped band
     assert all(p >= 150_000 for _, _, p in got)
+
+
+def test_minhash_jaccard_accuracy_matches_python(spark, sf_small):
+    """Signature-match counts and true Jaccard recomputed from raw text
+    (portable hash + XOR permutation mixes, distinct 3-shingle sets)."""
+    from mangaextractor_spark.queries.dedup import (
+        N_PERMS,
+        XOR_CONSTS,
+        minhash_jaccard_accuracy,
+    )
+
+    rows = minhash_jaccard_accuracy(spark, sf_small).collect()
+    assert rows, "fixture corpus must yield candidate pairs"
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+
+    def shingle_hashes(text):
+        ws = _words(text)
+        return [
+            int(hashlib.md5(" ".join(ws[i : i + 3]).encode()).hexdigest()[:15], 16)
+            for i in range(len(ws) - 2)
+        ]
+
+    hls = {int(r.doc_id): shingle_hashes(r.text) for r in docs.itertuples()}
+    for r in rows:
+        ha, hb = hls[r["a_id"]], hls[r["b_id"]]
+        sig_a = [min(h ^ XOR_CONSTS[p] for h in ha) for p in range(N_PERMS)]
+        sig_b = [min(h ^ XOR_CONSTS[p] for h in hb) for p in range(N_PERMS)]
+        n_match = sum(1 for x, y in zip(sig_a, sig_b) if x == y)
+        sa, sb = set(ha), set(hb)
+        true_j = round(len(sa & sb) / len(sa | sb), 6)
+        assert r["n_match"] == n_match, (r["a_id"], r["b_id"])
+        assert r["est_jaccard"] == round(n_match / N_PERMS, 6)
+        assert r["true_jaccard"] == true_j
+        assert r["err_e6"] == int(round((round(n_match / N_PERMS, 6) - true_j) * 1_000_000))
