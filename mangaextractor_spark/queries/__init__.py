@@ -49,6 +49,7 @@ def _load_all() -> None:
         dedup,
         extraction_queries,
         html_queries,
+        hybrid,
         main_content,
         multimodal_queries,
         parsing_queries,

@@ -688,3 +688,91 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+SEM_DEDUP_SIM = 0.4  # within-cluster near-dup threshold (6dp-rounded cosine)
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt({_DOT.format(a='emb', b='emb')}) AS nrm FROM e),
+c0 AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < {K_CLUSTERS}),
+{_kmeans_sql_assign('c0', 'a1')},
+m AS (
+  SELECT a1.vec_id, a1.cid, n.emb, n.nrm FROM a1 JOIN n USING (vec_id)
+),
+removed AS (
+  SELECT DISTINCT b.vec_id AS removed_id
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND({_DOT.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm), 6) >= {SEM_DEDUP_SIM}
+)
+SELECT m.vec_id, m.cid AS cluster_id, (r.removed_id IS NULL) AS kept
+FROM m LEFT JOIN removed r ON m.vec_id = r.removed_id
+ORDER BY m.vec_id
+"""
+
+
+@register(
+    "semantic_dedup",
+    _SEMANTIC_DEDUP_SQL,
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    "arXiv:2303.09540): assign every embedding to its max-cosine "
+    f"centroid (k={K_CLUSTERS} deterministic seeds = the first "
+    f"{K_CLUSTERS} vectors by id, exactly kmeans_assign's rule), then "
+    "drop any vector that has a SMALLER-ID near-duplicate (6dp-rounded "
+    f"cosine >= {SEM_DEDUP_SIM}) inside the SAME cluster. Output is the "
+    "keep mask a curation pipeline consumes: one row per vector with "
+    "its cluster and kept flag. The removal rule is the id-order "
+    "variant (removed iff ANY smaller-id in-cluster near-dup exists) "
+    "rather than the sequential greedy sweep — same fixed points on "
+    "transitive duplicate groups, but well-defined relationally, so "
+    "the oracle states it verbatim. Scale path: assignment is the "
+    "zero-shuffle broadcast-array argmax of kmeans_assign; the "
+    "pairwise stage is a self EQUI-join on cluster_id (AQE-skew-"
+    "splittable, unlike a window) whose O(m^2)-per-cluster compute is "
+    "SemDeDup's own contract — production picks k proportional to "
+    "corpus size so clusters stay ~constant-sized (the paper uses "
+    "k=50k for LAION-440M; the block-pair triangle sweep of "
+    "dedup_embedding_cosine is the in-cluster fallback if a cluster "
+    "still outgrows one task's memory). The keep mask joins back as a "
+    "broadcast-able (or bucketed) dimension of removed ids only.",
+    tags=("dedup", "similarity", "clustering"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normed_embeddings(spark, sf_dir)
+    seeds = n.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    m = _assign_to_centroids(n, seeds).join(
+        n.select("vec_id", "nrm"), "vec_id"
+    )  # (vec_id, cluster_id, sim, emb, nrm)
+    a = m.select(
+        F.col("cluster_id").alias("cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = m.select(
+        F.col("cluster_id").alias("cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sim = F.round(
+        _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 6
+    )
+    removed = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(sim >= SEM_DEDUP_SIM)
+        .select(F.col("b_id").alias("removed_id"))
+        .distinct()
+    )
+    return (
+        m.join(F.broadcast(removed), m.vec_id == F.col("removed_id"), "left")
+        .select(
+            "vec_id",
+            F.col("cluster_id"),
+            F.col("removed_id").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -196,3 +196,39 @@ def test_upsert_catalog_path_drops_temp_view(spark, tmp_path, monkeypatch):
         ice.upsert(spark, "wh.db.missing", updates, ["k"])
     after = {t.name for t in spark.catalog.listTables()}
     assert not {t for t in after - before if t.startswith("_updates_")}
+
+
+def test_merge_sql_parses_in_sparks_own_parser(spark):
+    """Round-3 verdict item 5: the generated MERGE text had never been
+    parsed by any engine (the sandbox has no Iceberg catalog, and this
+    box's DuckDB predates MERGE INTO support). Spark's OWN SQL parser
+    is the engine that will consume it on a real cluster, so drive the
+    statement through spark.sql(): a parse-valid MERGE against a
+    missing v2 target must fail at the ANALYSIS stage (table not
+    found), never at the PARSE stage — while a corrupted statement must
+    fail to parse. That pins the generated text to Spark's MERGE
+    grammar without needing Iceberg jars."""
+    import pytest
+    from pyspark.errors import AnalysisException, ParseException
+
+    sql = merge_into_sql(
+        "nosuch_catalog.db.orders",
+        "updates_view_missing",
+        ["o_orderkey"],
+        ["o_orderkey", "o_totalprice"],
+    )
+    with pytest.raises(AnalysisException) as ei:
+        spark.sql(sql)
+    assert not isinstance(ei.value, ParseException), ei.value
+    assert "PARSE_SYNTAX_ERROR" not in str(ei.value)
+
+    dsql = merge_delete_sql("nosuch_catalog.db.pages", "doomed_view", ["id"])
+    with pytest.raises(AnalysisException) as ei:
+        spark.sql(dsql)
+    assert not isinstance(ei.value, ParseException), ei.value
+    assert "PARSE_SYNTAX_ERROR" not in str(ei.value)
+
+    # Control: the same harness DOES reject malformed MERGE text, so the
+    # assertions above really exercise the parser.
+    with pytest.raises(ParseException):
+        spark.sql(sql.replace("WHEN MATCHED THEN", "WHEN MATCHED THEN FROB"))
