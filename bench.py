@@ -69,6 +69,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "kmeans_assign",
     "kmeans_fit",
+    "semantic_dedup",
+    "rrf_fusion",
     "incremental_dedup",
     "length_quantiles",
     "merge_upsert_orders",

@@ -93,3 +93,30 @@ def test_rrf_fusion_matches_pandas_recompute(spark):
     # Fusion must use both legs: some fused top-10 entry is dense-only.
     merged = got.merge(lexr, on=["query_id", "cand_id"], how="left", indicator=True)
     assert (merged["_merge"] == "left_only").any()
+
+
+def test_semantic_dedup_plan_has_no_window(spark):
+    """Every stage is a join or an aggregate — assignment is the
+    broadcast-array argmax (no per-centroid fan-out), the pair stage is
+    an AQE-splittable equi-join on cluster_id, and the keep mask joins
+    the removed-id set back as a broadcast dimension. Nothing may ride
+    a window (see queries/_scale_notes.py)."""
+    df = REGISTRY["semantic_dedup"].spark(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window [" not in plan
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys  # removed-id keep-mask join-back
+
+
+def test_rrf_fusion_windows_are_prebounded(spark):
+    """rrf_fusion keeps exactly two rank windows (dense leg + fused
+    re-rank). The dense one must be fed by the Arrow pre-top-k
+    (MapInPandas) so its partition size is operator-bounded, never
+    corpus-sized; the fused one ranks only the joined candidate lists
+    (<= k_lex + k_dense rows per query by construction)."""
+    df = REGISTRY["rrf_fusion"].spark(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(windows) == 3, windows  # bm25 rank + dense rank + fused rank
+    assert all("row_number" in w for w in windows)
+    assert plan.count("MapInPandas") >= 2  # bm25 + dense pre-top-k stages
