@@ -549,6 +549,53 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, value, event_id, epoch_us(ts) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Engine-native session windows: Spark's built-in session_window "
+    "(per-event windows [ts, ts+30min] merged INCLUSIVELY by Catalyst's "
+    "session aggregation — an event exactly at a session's end extends "
+    "it, pinned by tests' exact-gap fixture) — one shuffle on user_id, NO per-user ORDER "
+    "BY window, and the same transformation runs unchanged on an "
+    "unbounded stream (streaming/sessions.py: watermark closes a "
+    "session, append emits it exactly once). The oracle restates the "
+    "merge rule relationally (new session iff the gap EXCEEDS 30 min — "
+    "the same > rule as event_sessions, so the two constructions are "
+    "interchangeable) and must agree on bounds (start = first event, end = last "
+    "event + gap), counts, and the DECIMAL-exact value sum.",
+    tags=("window", "sessionization", "streaming-twin"),
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessions import session_stats
+
+    e = load_table(spark, sf_dir, "events")
+    return session_stats(e).orderBy("user_id", "session_start")
+
+
+@register(
     "pricing_rollup",
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
