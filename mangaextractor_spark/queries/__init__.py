@@ -54,6 +54,7 @@ def _load_all() -> None:
         multimodal_queries,
         parsing_queries,
         relational,
+        scale_ops,
         search,
         similarity,
         textops,

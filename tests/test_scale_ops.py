@@ -1,0 +1,188 @@
+"""Semantics + plan-shape tests for queries/scale_ops.py (bigram LM
+quality, Bloom-filter decontamination, Z-order layout).
+
+Value tests recompute each operator's DEFINITION independently in
+python/pandas (test_queries_oracle covers Spark<->DuckDB parity; this
+file guards against a shared mistake in both engine programs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if w]
+
+
+def _phash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_bigram_lm_quality_matches_definition(spark, sf_small):
+    from mangaextractor_spark.queries.scale_ops import LM_SCALE, bigram_lm_quality
+
+    got = {r["doc_id"]: r for r in bigram_lm_quality(spark, sf_small).collect()}
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    doc_bigrams: dict[int, list[tuple[str, str]]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = _words(text)
+        bgs = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        if not bgs:
+            continue
+        doc_bigrams[doc_id] = bgs
+        for w1, w2 in bgs:
+            c1[w1] += 1
+            c2[(w1, w2)] += 1
+
+    assert set(got) == set(doc_bigrams)
+    for doc_id, bgs in doc_bigrams.items():
+        score_sum = sum(LM_SCALE * c2[b] // c1[b[0]] for b in bgs)
+        row = got[doc_id]
+        assert row["n_bigrams"] == len(bgs)
+        assert row["score_sum"] == score_sum
+        assert row["lm_score"] == score_sum / len(bgs)
+
+
+def test_bigram_lm_quality_no_window_in_plan(spark, sf_medium):
+    """Corpus frequencies must be groupBy + join-back, never a window
+    (queries/_scale_notes.py)."""
+    from mangaextractor_spark.queries.scale_ops import bigram_lm_quality
+
+    plan = (
+        bigram_lm_quality(spark, sf_medium)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # The exploded bigram frame feeds three consumers through one persist.
+    assert "InMemoryTableScan" in plan
+
+
+def test_bloom_decontamination_matches_definition(spark, sf_small):
+    from mangaextractor_spark.queries.scale_ops import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_decontamination,
+    )
+
+    got = {r["doc_id"]: r for r in bloom_decontamination(spark, sf_small).collect()}
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    hashes = {
+        doc_id: hashlib.md5(text.encode()).hexdigest()
+        for doc_id, text in zip(docs["doc_id"], docs["text"])
+    }
+    base = {h for d, h in hashes.items() if d % 5 != 4}
+    bits: set[int] = set()
+    for h in base:
+        for j in range(BLOOM_K):
+            bits.add(_phash60(f"{h}:{j}") % BLOOM_BITS)
+
+    inc = {d: h for d, h in hashes.items() if d % 5 == 4}
+    assert set(got) == set(inc)
+    for doc_id, h in inc.items():
+        expect_hit = all(_phash60(f"{h}:{j}") % BLOOM_BITS in bits for j in range(BLOOM_K))
+        row = got[doc_id]
+        assert row["content_hash"] == h
+        assert row["bloom_hit"] == expect_hit
+        assert row["true_dup"] == (h in base)
+    # No false negatives, ever (the Bloom guarantee).
+    assert all(got[d]["bloom_hit"] for d, h in inc.items() if h in base)
+
+
+def test_bloom_probe_is_broadcast(spark, sf_medium):
+    """The register table joins the probe side BROADCAST — the whole
+    point of the sketch is zero base-side shuffle at probe time."""
+    from mangaextractor_spark.queries.scale_ops import bloom_decontamination
+
+    plan = (
+        bloom_decontamination(spark, sf_medium)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_exhibits_false_positives(spark, sf_medium):
+    """The grid is sized so the fixture SHOWS the FP band the QC view
+    exists to measure (like cm_heavy_hitters' deliberate collision)."""
+    from mangaextractor_spark.queries.scale_ops import bloom_decontamination
+
+    rows = bloom_decontamination(spark, sf_medium).collect()
+    fp = [r for r in rows if r["bloom_hit"] and not r["true_dup"]]
+    assert fp, "expected visible false positives on the small grid"
+
+
+def _morton(lang_code: int, len_b: int) -> int:
+    z = 0
+    for i in range(8):
+        z |= ((len_b >> i) & 1) << (2 * i)
+        z |= ((lang_code >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_layout_matches_definition(spark, sf_small):
+    from mangaextractor_spark.queries.scale_ops import (
+        Z_FILES,
+        Z_LANG_CODES,
+        Z_LANG_DEFAULT,
+        Z_LEN_DIV,
+        zorder_layout,
+    )
+
+    got = {r["doc_id"]: r for r in zorder_layout(spark, sf_small).collect()}
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    step = 65536 // Z_FILES
+    assert len(got) == len(docs)
+    for doc_id, lang, n_chars in zip(docs["doc_id"], docs["lang"], docs["n_chars"]):
+        code = Z_LANG_CODES.get(lang, Z_LANG_DEFAULT)
+        len_b = min(n_chars // Z_LEN_DIV, 255)
+        z = _morton(code, len_b)
+        row = got[doc_id]
+        assert (row["lang_code"], row["len_b"], row["zvalue"]) == (code, len_b, z)
+        assert row["file_id"] == z // step
+
+
+def test_zorder_groups_both_dims(spark, sf_small):
+    """The layout property Z-order exists for: within one target file,
+    BOTH dimensions have tight min/max ranges, so file skipping prunes
+    on either column (a lexicographic sort is tight only in the leading
+    column). The z-range of one file spans at most 1/Z_FILES of the key
+    space, which bounds each dimension's spread to ~sqrt of its
+    domain."""
+    from mangaextractor_spark.queries.scale_ops import zorder_layout
+
+    rows = zorder_layout(spark, sf_small).collect()
+    by_file: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_file[r["file_id"]].append(r)
+    assert len(by_file) > 1
+    for file_id, members in by_file.items():
+        lens = [m["len_b"] for m in members]
+        codes = [m["lang_code"] for m in members]
+        # 4096-wide z ranges interleave 8+8 bits: each dim spans <= 64
+        # values of its 256-value domain within one file.
+        assert max(lens) - min(lens) <= 64, file_id
+        assert max(codes) - min(codes) <= 64, file_id
+
+
+def test_zorder_no_hash_exchange(spark, sf_medium):
+    """Pure per-row bit arithmetic: no hash shuffle anywhere (the only
+    exchange is the presentation sort's range partitioning)."""
+    from mangaextractor_spark.queries.scale_ops import zorder_layout
+
+    plan = (
+        zorder_layout(spark, sf_medium)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
