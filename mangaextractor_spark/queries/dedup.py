@@ -615,6 +615,124 @@ def repeated_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRUB_SQL = f"""
+WITH w AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+  FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+),
+g AS (
+  SELECT doc_id, i - 1 AS s,
+         {phash60_sql("array_to_string(ws[i : i + " + str(NGRAM_K - 1) + "], ' ')")} AS h
+  FROM w, UNNEST(generate_series(1, len(ws) - {NGRAM_K - 1})) AS t(i)
+  WHERE len(ws) >= {NGRAM_K}
+),
+rep AS (
+  SELECT h FROM (SELECT h, doc_id FROM g GROUP BY 1, 2)
+  GROUP BY h HAVING COUNT(*) >= {REPEATED_MIN_DF}
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.s + k AS pos
+  FROM g JOIN rep USING (h), UNNEST(generate_series(0, {NGRAM_K - 1})) AS u(k)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         STRING_AGG(w, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+SELECT tot.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+       CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(tot.n_tokens - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot LEFT JOIN reb USING (doc_id) ORDER BY tot.doc_id
+"""
+
+
+@register(
+    "repeated_ngram_scrub",
+    _SCRUB_SQL,
+    doc=f"Substring-dedup REMOVAL (Lee et al. 2021, 'Deduplicating "
+    "Training Data Makes Language Models Better', arXiv:2107.06499 — "
+    f"approximated at token {NGRAM_K}-gram granularity like "
+    "repeated_ngram_stats, which only DETECTS): every token position "
+    f"covered by an {NGRAM_K}-gram occurring in >= {REPEATED_MIN_DF} "
+    "distinct documents is dropped, and each document's text is "
+    "rebuilt from the surviving tokens in order. Output: (doc_id, "
+    "clean_text, n_kept, n_dropped) for every document. Scale shape: "
+    "positional gram hashes are persisted once (they feed the "
+    "document-frequency aggregate AND the coverage explode); the df is "
+    "a map-side-combined groupBy joined back as a bare h set (the "
+    "_scale_notes rule — a window over h would pin viral boilerplate "
+    f"grams on one task); coverage fans out only {NGRAM_K}x the "
+    "REPEATED gram rows, never the whole corpus; the kept-token "
+    "anti-join and the rebuild groupBy both shuffle on (doc_id) — "
+    "bounded per group by the document's own length, the same bound as "
+    "reading it. Cross-doc definition (within-doc repeats stay) keeps "
+    "the signal aligned with repeated_ngram_stats.",
+    tags=("dedup", "text", "pipeline"),
+)
+def repeated_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ws = d.select("doc_id", words_col(F.col("text")).alias("ws"))
+    toks = ws.select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
+    )
+    gramcol = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - NGRAM_K),
+        lambda i: F.struct(
+            i.alias("s"),
+            phash60(F.concat_ws(" ", F.slice("ws", i + 1, NGRAM_K))).alias("h"),
+        ),
+    )
+    g = (
+        ws.filter(F.size("ws") >= NGRAM_K)
+        .select("doc_id", F.explode(gramcol).alias("g"))
+        .select("doc_id", "g.s", "g.h")
+        .persist()  # feeds the df aggregate AND the coverage explode
+    )
+    rep = (
+        g.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= REPEATED_MIN_DF)
+        .select("h")
+    )
+    cov = (
+        g.join(rep, "h")
+        .select("doc_id", F.explode(F.sequence("s", F.col("s") + (NGRAM_K - 1))).alias("pos"))
+        .distinct()
+    )
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+        ).alias("clean_text"),
+    )
+    tot = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        tot.join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "dedup_survivors",
     "WITH RECURSIVE "

@@ -221,3 +221,37 @@ def test_viral_gram_stats_and_plan(spark, viral_gram_dir):
         assert (r.n_grams, r.n_repeated, r.repeated_frac) == (
             o.n_grams, o.n_repeated, o.repeated_frac
         ), doc_id
+
+
+def test_repeated_ngram_scrub_removes_only_cross_doc_repeats(spark, viral_gram_dir):
+    """The REMOVAL twin of repeated_ngram_stats: the boilerplate 8-gram's
+    token positions are scrubbed from every doc carrying it; unique and
+    internally-repeated (df=1) grams survive untouched."""
+    qd = REGISTRY["repeated_ngram_scrub"]
+    df = qd.spark(spark, viral_gram_dir)
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, f"window-over-h reintroduced:\n{plan}"
+
+    out = df.toPandas().set_index("doc_id")
+    for i in range(N_BOILER_DOCS):
+        r = out.loc[f"boil{i:02d}"]
+        assert r.clean_text == f"u{i}a u{i}b"
+        assert (r.n_kept, r.n_dropped) == (2, 8)
+    assert out.loc["uniq"].clean_text == "x1 x2 x3 x4 x5 x6 x7 x8"
+    assert out.loc["uniq"].n_dropped == 0
+    # within-doc repetition is NOT cross-document repetition: kept whole
+    assert out.loc["selfrep"].clean_text == " ".join(["r"] * 10)
+    assert out.loc["selfrep"].n_dropped == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{viral_gram_dir}/documents.parquet'"
+    )
+    odf = con.execute(qd.oracle).df().set_index("doc_id")
+    con.close()
+    for doc_id, r in out.iterrows():
+        o = odf.loc[doc_id]
+        assert (r.clean_text, r.n_kept, r.n_dropped) == (
+            o.clean_text, o.n_kept, o.n_dropped
+        ), doc_id
