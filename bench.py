@@ -47,12 +47,18 @@ HEADLINE = [
     "events_sliding_1h",
     "events_hourly",
     "dedup_exact",
+    "join_skew_report",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash",
     "dedup_clusters",
     "near_dup_pagerank",
     "repeated_ngram_stats",
+    "repeated_ngram_scrub",
+    "bigram_lm_quality",
+    "bloom_decontamination",
+    "zorder_layout",
+    "file_skipping_stats",
     "bm25_topk",
     "main_content_spans",
     "extracted_dedup_groups",

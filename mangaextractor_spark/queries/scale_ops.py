@@ -350,3 +350,202 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zvalue",
         F.expr(f"zvalue DIV {_Z_STEP}").alias("file_id"),
     ).orderBy("doc_id")
+
+
+# -- file-skipping statistics -------------------------------------------
+
+# Declared predicate set evaluated against per-file min/max column
+# stats (the Iceberg-manifest / parquet-footer pruning model). Ranges
+# are inclusive; lang predicates are on lang_code, length predicates on
+# len_b (same derived dims as zorder_layout).
+SKIP_PREDS = [
+    # (pred_id, lang_lo, lang_hi, len_lo, len_hi)
+    ("len_40_60", 0, 7, 40, 60),
+    ("lang_en", 1, 1, 0, 255),
+    ("fr_len_20_40", 3, 3, 20, 40),
+]
+
+
+def _pred_values_sql() -> str:
+    rows = ", ".join(
+        f"('{p}', {a}, {b}, {c}, {d})" for p, a, b, c, d in SKIP_PREDS
+    )
+    return (
+        f"(VALUES {rows}) AS preds(pred_id, lang_lo, lang_hi, len_lo, len_hi)"
+    )
+
+
+_SKIP_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         {_Z_CASE} AS lang_code,
+         LEAST(n_chars // {Z_LEN_DIV}, {2**Z_BITS - 1}) AS len_b
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, lang_code, len_b,
+         CAST({_z_expr('', True)} AS BIGINT) // {_Z_STEP} AS z_file,
+         CAST(lang_code * 2 + CASE WHEN len_b >= 128 THEN 1 ELSE 0 END AS BIGINT)
+           AS lex_file
+  FROM dims
+),
+stats AS (
+  SELECT 'zorder' AS layout, z_file AS file_id,
+         MIN(lang_code) AS lang_min, MAX(lang_code) AS lang_max,
+         MIN(len_b) AS len_min, MAX(len_b) AS len_max,
+         COUNT(*) AS n_rows
+  FROM assigned GROUP BY z_file
+  UNION ALL
+  SELECT 'lex', lex_file,
+         MIN(lang_code), MAX(lang_code), MIN(len_b), MAX(len_b), COUNT(*)
+  FROM assigned GROUP BY lex_file
+)
+SELECT s.layout, preds.pred_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(CASE WHEN s.lang_max >= preds.lang_lo AND s.lang_min <= preds.lang_hi
+                      AND s.len_max >= preds.len_lo AND s.len_min <= preds.len_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_files_read,
+       CAST(SUM(CASE WHEN s.lang_max >= preds.lang_lo AND s.lang_min <= preds.lang_hi
+                      AND s.len_max >= preds.len_lo AND s.len_min <= preds.len_hi
+                     THEN s.n_rows ELSE 0 END) AS BIGINT) AS n_rows_read
+FROM stats s CROSS JOIN {_pred_values_sql()}
+GROUP BY s.layout, preds.pred_id
+ORDER BY s.layout, preds.pred_id
+"""
+
+
+@register(
+    "file_skipping_stats",
+    _SKIP_SQL,
+    doc="Quantifies min/max file skipping (the Iceberg-manifest / "
+    "parquet-footer pruning model) for the SAME corpus written under "
+    "two layouts: zorder_layout's Morton key ranges vs a lexicographic "
+    "(lang, coarse-length) grid with the same file count. For each "
+    "declared predicate, a file must be read iff its per-column min/max "
+    "envelope intersects the predicate's ranges — exactly the decision "
+    "a scan planner makes from manifest stats, computed here as data so "
+    "the layout trade is MEASURED, not asserted: the lex grid wins on "
+    "its leading column (lang), Z-order keeps BOTH dimensions partially "
+    "tight so length-only predicates skip files lex must read. Scale "
+    "shape: the per-file stats are two map-side-combined groupBys over "
+    "derived dims (one corpus scan); everything after rides the "
+    "file-count-sized stats frame crossed with the declared predicate "
+    "literals — at 10^12 docs this is the manifest, thousands of rows.",
+    tags=("layout", "storage"),
+)
+def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dims = d.select(
+        "doc_id",
+        F.expr(_Z_CASE).cast("long").alias("lang_code"),
+        F.least(F.expr(f"n_chars DIV {Z_LEN_DIV}"), F.lit(2**Z_BITS - 1))
+        .cast("long")
+        .alias("len_b"),
+    )
+    assigned = dims.select(
+        "lang_code",
+        "len_b",
+        F.expr(f"({_z_expr('', False)}) DIV {_Z_STEP}").alias("z_file"),
+        (
+            F.col("lang_code") * 2
+            + F.when(F.col("len_b") >= 128, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("lex_file"),
+    )
+
+    def _stats(file_col: str, layout: str) -> DataFrame:
+        return assigned.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.min("lang_code").alias("lang_min"),
+            F.max("lang_code").alias("lang_max"),
+            F.min("len_b").alias("len_min"),
+            F.max("len_b").alias("len_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    stats = _stats("z_file", "zorder").unionByName(_stats("lex_file", "lex"))
+    preds = spark.createDataFrame(
+        SKIP_PREDS, "pred_id string, lang_lo long, lang_hi long, len_lo long, len_hi long"
+    )
+    read = (
+        (F.col("lang_max") >= F.col("lang_lo"))
+        & (F.col("lang_min") <= F.col("lang_hi"))
+        & (F.col("len_max") >= F.col("len_lo"))
+        & (F.col("len_min") <= F.col("len_hi"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "pred_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(read, 1).otherwise(0)).alias("n_files_read"),
+            F.sum(F.when(read, F.col("n_rows")).otherwise(0)).alias("n_rows_read"),
+        )
+        .orderBy("layout", "pred_id")
+    )
+
+
+# -- join-skew diagnostic -----------------------------------------------
+
+SKEW_TOP = 10
+SKEW_SCALE = 1_000_000
+
+_SKEW_SQL = f"""
+WITH per_key AS (
+  SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         MAX(cnt) AS max_cnt FROM per_key
+)
+SELECT p.key, p.cnt,
+       ({SKEW_SCALE} * p.cnt) // t.n_rows AS share_e6,
+       ({SKEW_SCALE} * p.cnt * t.n_keys) // t.n_rows AS vs_mean_e6,
+       t.n_keys, t.n_rows, t.max_cnt
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.cnt DESC, p.key LIMIT {SKEW_TOP}
+"""
+
+
+@register(
+    "join_skew_report",
+    _SKEW_SQL,
+    doc=f"Pre-flight skew diagnostic for a join key (orders.o_custkey "
+    "here): the top-{0} hottest keys with exact counts, each key's "
+    "corpus share and its ratio to the mean key population (both "
+    f"e6-scaled integer floor divisions, bit-exact cross-engine) plus "
+    "the global key/row/max counters on every row. This is the view "
+    "you run BEFORE a 100 TB join to decide between AQE skew-split, "
+    "salting, or a broadcast: vs_mean_e6 >> 1e6 on the head keys means "
+    "the shuffle will straggle. Scale shape: one map-side-combined "
+    "groupBy builds per-key counts; the rollup is a single-row "
+    "aggregate broadcast back; the head extraction is sort+limit "
+    "(TakeOrdered — per-partition top-k merged on the driver, never a "
+    "corpus-sized window).".format(SKEW_TOP),
+    tags=("diagnostics", "relational"),
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_key = per_key.persist()  # feeds the rollup AND the head extraction
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.expr(f"({SKEW_SCALE} * cnt) DIV n_rows").alias("share_e6"),
+            F.expr(f"({SKEW_SCALE} * cnt * n_keys) DIV n_rows").alias("vs_mean_e6"),
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(SKEW_TOP)
+    )

@@ -186,3 +186,46 @@ def test_zorder_no_hash_exchange(spark, sf_medium):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "Window" not in plan
+
+
+def test_file_skipping_shows_the_layout_trade(spark, sf_medium):
+    """Z-order bounds BOTH dims per file, so the length-only predicate
+    reads fewer rows than under the lang-leading lexicographic grid;
+    the lex grid's lang-pure files win the lang-only predicate. The
+    trade must be visible in the data, not asserted in prose."""
+    from mangaextractor_spark.queries.scale_ops import file_skipping_stats
+
+    rows = {(r["layout"], r["pred_id"]): r for r in file_skipping_stats(spark, sf_medium).collect()}
+    assert rows[("zorder", "len_40_60")]["n_rows_read"] < rows[("lex", "len_40_60")]["n_rows_read"]
+    assert rows[("lex", "lang_en")]["n_rows_read"] <= rows[("zorder", "lang_en")]["n_rows_read"]
+    # the planner never reads zero files for a predicate with matches
+    for key, r in rows.items():
+        assert 0 < r["n_files_read"] <= r["n_files"], key
+
+
+def test_join_skew_report_matches_definition(spark, sf_small):
+    from mangaextractor_spark.queries.scale_ops import SKEW_SCALE, SKEW_TOP, join_skew_report
+
+    got = join_skew_report(spark, sf_small).collect()
+    orders = pq.read_table(f"{sf_small}/orders.parquet").to_pandas()
+    cnt = Counter(orders["o_custkey"])
+    n_keys, n_rows, max_cnt = len(cnt), len(orders), max(cnt.values())
+    head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:SKEW_TOP]
+    assert len(got) == min(SKEW_TOP, n_keys)
+    for row, (key, c) in zip(got, head):
+        assert (row["key"], row["cnt"]) == (key, c)
+        assert row["share_e6"] == SKEW_SCALE * c // n_rows
+        assert row["vs_mean_e6"] == SKEW_SCALE * c * n_keys // n_rows
+        assert (row["n_keys"], row["n_rows"], row["max_cnt"]) == (n_keys, n_rows, max_cnt)
+
+
+def test_join_skew_report_no_window(spark, sf_medium):
+    """Head extraction must be sort+limit (TakeOrdered), never a
+    corpus-sized ranking window."""
+    from mangaextractor_spark.queries.scale_ops import join_skew_report
+
+    plan = (
+        join_skew_report(spark, sf_medium)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "TakeOrdered" in plan
