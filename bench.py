@@ -59,6 +59,8 @@ HEADLINE = [
     "bloom_decontamination",
     "zorder_layout",
     "file_skipping_stats",
+    "bpe_pair_counts",
+    "feature_hash_vectors",
     "bm25_topk",
     "main_content_spans",
     "extracted_dedup_groups",

@@ -475,11 +475,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = 64):
     orientation, every smaller neighbor (and u itself) is pointed at
     the minimum. The fixed point is a star forest rooted at component
     minima."""
+    # Checkpoint the candidate pairs ONCE: nodes and the canonical edge
+    # set both derive from it, and without this the (expensive) pair
+    # subtree — e.g. the full MinHash-LSH build — executes twice, once
+    # per eager localCheckpoint below.
+    pairs = pairs.select("a_id", "b_id").localCheckpoint()
+    # nodes derives from the checkpointed pairs — two-hop lineage, no
+    # eager materialization job of its own needed.
     nodes = (
         pairs.select(F.col("a_id").alias("doc_id"))
         .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
     )
     # canonical orientation: hi > lo (lexicographic)
     e = (

@@ -549,3 +549,168 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "key")
         .limit(SKEW_TOP)
     )
+
+
+# -- BPE merge rounds ----------------------------------------------------
+
+BPE_TOP = 15
+
+_BPE_SQL = f"""
+WITH w AS (SELECT {_WS} AS ws FROM documents),
+toks AS (SELECT UNNEST(ws) AS word FROM w),
+wc AS (
+  SELECT word, COUNT(*) AS cnt,
+         array_to_string(string_split(word, ''), ' ') AS spell
+  FROM toks GROUP BY word
+),
+sy1 AS (SELECT cnt, string_split(spell, ' ') AS sy, spell FROM wc),
+p1 AS (
+  SELECT sy[i] || ' ' || sy[i + 1] AS pair, cnt
+  FROM sy1, UNNEST(generate_series(1, len(sy) - 1)) AS t(i)
+  WHERE len(sy) >= 2
+),
+pc1 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS wcount FROM p1 GROUP BY pair),
+top1 AS (SELECT pair FROM pc1 ORDER BY wcount DESC, pair LIMIT 1),
+sp2 AS (
+  SELECT s.cnt, replace(s.spell, t.pair, replace(t.pair, ' ', '')) AS spell
+  FROM sy1 s CROSS JOIN top1 t
+),
+sy2 AS (SELECT cnt, string_split(spell, ' ') AS sy FROM sp2),
+p2 AS (
+  SELECT sy[i] || ' ' || sy[i + 1] AS pair, cnt
+  FROM sy2, UNNEST(generate_series(1, len(sy) - 1)) AS t(i)
+  WHERE len(sy) >= 2
+),
+pc2 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS wcount FROM p2 GROUP BY pair)
+SELECT * FROM (
+  SELECT 1 AS merge_round, pair, wcount FROM
+    (SELECT pair, wcount FROM pc1 ORDER BY wcount DESC, pair LIMIT {BPE_TOP})
+  UNION ALL
+  SELECT 2, pair, wcount FROM
+    (SELECT pair, wcount FROM pc2 ORDER BY wcount DESC, pair LIMIT {BPE_TOP})
+) ORDER BY merge_round, wcount DESC, pair
+"""
+
+
+@register(
+    "bpe_pair_counts",
+    _BPE_SQL,
+    doc=f"The first two rounds of BPE tokenizer training (Sennrich et "
+    "al. 2016, arXiv:1508.07909) over the corpus: adjacent-symbol pair "
+    "counts weighted by word frequency, the winning pair merged "
+    "everywhere (left-to-right non-overlapping, both engines' replace "
+    "semantics), then pairs recounted on the merged spellings — top-"
+    f"{BPE_TOP} per round. This is how tokenizer training actually "
+    "meets a 100 TB corpus: ONE corpus-sized groupBy folds the text "
+    "into the word-frequency table (the sentencepiece/HF pre-count), "
+    "after which every merge iteration rides the VOCABULARY — millions "
+    "of rows, not terabytes. The merge election is a 1-row TakeOrdered "
+    "broadcast back (never a global window); pair counts are "
+    "map-side-combined groupBys; counts are exact BIGINTs so the merge "
+    "choice (max count, lexicographic tie-break) is deterministic "
+    "across engines and partitionings.",
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(words_col(F.col("text"))).alias("word"))
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    spells = wc.select(
+        "cnt", F.concat_ws(" ", F.split("word", "")).alias("spell")
+    ).localCheckpoint()  # vocabulary-sized; corpus scan runs once, not per round
+
+    def pair_counts(sp: DataFrame) -> DataFrame:
+        sy = sp.select("cnt", F.split("spell", " ").alias("sy"))
+        prs = F.when(
+            F.size("sy") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("sy") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.get("sy", i), F.get("sy", i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            sy.select("cnt", F.explode(prs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("wcount"))
+        )
+
+    pc1 = pair_counts(spells)
+    top1 = pc1.orderBy(F.desc("wcount"), "pair").limit(1).select("pair")
+    sp2 = spells.crossJoin(F.broadcast(top1)).select(
+        "cnt",
+        F.expr("replace(spell, pair, replace(pair, ' ', ''))").alias("spell"),
+    )
+    pc2 = pair_counts(sp2)
+    r1 = (
+        pc1.orderBy(F.desc("wcount"), "pair")
+        .limit(BPE_TOP)
+        .select(F.lit(1).alias("merge_round"), "pair", "wcount")
+    )
+    r2 = (
+        pc2.orderBy(F.desc("wcount"), "pair")
+        .limit(BPE_TOP)
+        .select(F.lit(2).alias("merge_round"), "pair", "wcount")
+    )
+    return r1.unionByName(r2).orderBy("merge_round", F.desc("wcount"), "pair")
+
+
+# -- feature-hashing vectors ---------------------------------------------
+
+FH_DIM = 64
+
+_FH_IDX = phash60_sql("token")
+
+_FH_SQL = f"""
+WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+toks AS (SELECT doc_id, UNNEST(ws) AS token FROM w),
+h AS (
+  SELECT doc_id,
+         {_FH_IDX} % {FH_DIM} AS dim,
+         CASE WHEN ({_FH_IDX} // {FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM toks
+)
+SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS val
+FROM h GROUP BY doc_id, dim
+HAVING SUM(sign) <> 0
+ORDER BY doc_id, dim
+"""
+
+
+@register(
+    "feature_hash_vectors",
+    _FH_SQL,
+    doc=f"Feature-hashing (the hashing trick, Weinberger et al. 2009, "
+    f"ICML) document vectors at dim={FH_DIM}: every token lands in "
+    "bucket phash60(token) mod dim with a +/-1 sign drawn from the "
+    "next hash bit, so collisions cancel in expectation and the "
+    "embedding needs NO vocabulary pass — the property that makes it "
+    "the out-of-core featurizer for corpus-scale clustering/classifier "
+    "runs (contrast token_rarity_quality's top-K vocab, which needs "
+    "the frequency table first). Output is the sparse form (doc_id, "
+    "dim, val), zero-cancelled entries dropped, exact BIGINT sums. "
+    "Scale shape: one scan, one map-side-combined groupBy on (doc_id, "
+    "dim) — per-group size is bounded by the document's own tokens; "
+    "no vocabulary state, no window, no driver collection.",
+    tags=("text", "features"),
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._portable import phash60 as _ph
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("token"))
+    h = toks.select("doc_id", _ph(F.col("token")).alias("hv")).select(
+        "doc_id",
+        (F.col("hv") % FH_DIM).alias("dim"),
+        # sign from the next hash bit: (hv DIV FH_DIM) % 2
+        F.when(F.expr(f"(hv DIV {FH_DIM}) % 2") == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    return (
+        h.groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("val"))
+        .filter(F.col("val") != 0)
+        .orderBy("doc_id", "dim")
+    )

@@ -229,3 +229,76 @@ def test_join_skew_report_no_window(spark, sf_medium):
     )
     assert "Window" not in plan
     assert "TakeOrdered" in plan
+
+
+def test_bpe_pair_counts_matches_definition(spark, sf_small):
+    from mangaextractor_spark.queries.scale_ops import BPE_TOP, bpe_pair_counts
+
+    got = bpe_pair_counts(spark, sf_small).collect()
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    wc: Counter = Counter()
+    for text in docs["text"]:
+        wc.update(_words(text))
+
+    def pair_counts(spells: dict[str, int]) -> Counter:
+        pc: Counter = Counter()
+        for spell, cnt in spells.items():
+            sy = spell.split(" ")
+            for i in range(len(sy) - 1):
+                pc[f"{sy[i]} {sy[i+1]}"] += cnt
+        return pc
+
+    spells = {" ".join(word): cnt for word, cnt in wc.items()}
+    pc1 = pair_counts(spells)
+    top1 = min(pc1.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    # python str.replace is left-to-right non-overlapping, same as both engines
+    spells2: Counter = Counter()
+    for spell, cnt in spells.items():
+        spells2[spell.replace(top1, top1.replace(" ", ""))] += cnt
+    pc2 = pair_counts(spells2)
+
+    def head(pc: Counter) -> list[tuple[str, int]]:
+        return sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP]
+
+    expect = [(1, p, c) for p, c in head(pc1)] + [(2, p, c) for p, c in head(pc2)]
+    assert [(r["merge_round"], r["pair"], r["wcount"]) for r in got] == expect
+
+
+def test_bpe_no_window_vocab_checkpointed(spark, sf_medium):
+    """Merge election is TakeOrdered + broadcast back; the corpus scan
+    folds to the vocabulary once (localCheckpoint), so no Window and no
+    re-scan per round appears in the plan."""
+    from mangaextractor_spark.queries.scale_ops import bpe_pair_counts
+
+    df = bpe_pair_counts(spark, sf_medium)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or "Scan rdd" in plan
+
+
+def test_feature_hash_vectors_matches_definition(spark, sf_small):
+    from mangaextractor_spark.queries.scale_ops import FH_DIM, feature_hash_vectors
+
+    got = {(r["doc_id"], r["dim"]): r["val"] for r in feature_hash_vectors(spark, sf_small).collect()}
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    expect: Counter = Counter()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        for t in _words(text):
+            hv = _phash60(t)
+            expect[(doc_id, hv % FH_DIM)] += 1 if (hv // FH_DIM) % 2 == 0 else -1
+    expect = {k: v for k, v in expect.items() if v != 0}
+    assert got == expect
+
+
+def test_feature_hash_no_window(spark, sf_medium):
+    from mangaextractor_spark.queries.scale_ops import feature_hash_vectors
+
+    plan = (
+        feature_hash_vectors(spark, sf_medium)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
