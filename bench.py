@@ -48,6 +48,7 @@ HEADLINE = [
     "events_hourly",
     "dedup_exact",
     "join_skew_report",
+    "event_overlap_pairs",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash",
