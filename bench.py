@@ -53,6 +53,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash",
     "dedup_clusters",
+    "dedup_ladder_funnel",
     "near_dup_pagerank",
     "repeated_ngram_stats",
     "repeated_ngram_scrub",

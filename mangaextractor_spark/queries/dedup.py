@@ -1031,3 +1031,96 @@ def minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+_FUNNEL_LADDER_SQL = (
+    "WITH RECURSIVE "
+    + _LSH_PAIRS_CTE.strip().removeprefix("WITH ")
+    + """
+    , edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst
+    ),
+    drops AS (
+      SELECT src AS doc_id FROM reach GROUP BY src
+      HAVING src <> MIN(dst)
+    ),
+    hashed AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+    keep_exact AS (SELECT h, MIN(doc_id) AS keeper FROM hashed GROUP BY h),
+    flags AS (
+      SELECT d.doc_id, d.lang,
+             (d.doc_id = k.keeper) AS is_exact_keeper,
+             (x.doc_id IS NULL) AS survives_neardup
+      FROM hashed d JOIN keep_exact k ON d.h = k.h
+      LEFT JOIN drops x ON d.doc_id = x.doc_id
+    )
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN is_exact_keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_keepers,
+           CAST(SUM(CASE WHEN is_exact_keeper AND survives_neardup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_survivors
+    FROM flags GROUP BY lang ORDER BY lang
+    """
+)
+
+
+@register(
+    "dedup_ladder_funnel",
+    _FUNNEL_LADDER_SQL,
+    doc="The DEDUP ladder as a funnel, per language: total docs -> "
+    "exact-dedup keepers (min doc_id per content hash) -> keepers that "
+    "also survive near-dup clustering (MinHash-LSH candidates -> "
+    "connected components -> keep-min-per-cluster). corpus_funnel "
+    "reports quality+exact; this is the dedup-side triage view a "
+    "curation run reads to see WHERE each language's corpus shrinks "
+    "before committing to the full rewrite. Scale shape: one corpus "
+    "scan persisted (it feeds the keeper election AND the flag join); "
+    "keeper election is groupBy + equi-join back (never a window over "
+    "the hash); the near-dup drop set — bounded by the number of "
+    "near-duplicate docs, orders of magnitude below the corpus — rides "
+    "a BROADCAST left join; the rollup is a 5-row map-side-combined "
+    "groupBy. Oracle: recursive-CTE closure over the same LSH CTE.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_ladder_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("h"))
+        .persist()  # feeds the keeper election AND the flag join
+    )
+    keep = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    labels, _ = connected_components(minhash_lsh_pairs(spark, sf_dir))
+    drops = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit(True).alias("_dropped")
+    )
+    flags = (
+        d.join(keep, "h")
+        .join(F.broadcast(drops), "doc_id", "left")
+        .select(
+            "lang",
+            (F.col("doc_id") == F.col("keeper")).alias("is_exact_keeper"),
+            F.col("_dropped").isNull().alias("survives_neardup"),
+        )
+    )
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("is_exact_keeper"), 1).otherwise(0)).alias(
+                "n_exact_keepers"
+            ),
+            F.sum(
+                F.when(
+                    F.col("is_exact_keeper") & F.col("survives_neardup"), 1
+                ).otherwise(0)
+            ).alias("n_neardup_survivors"),
+        )
+        .orderBy("lang")
+    )

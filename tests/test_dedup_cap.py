@@ -255,3 +255,19 @@ def test_repeated_ngram_scrub_removes_only_cross_doc_repeats(spark, viral_gram_d
         assert (r.clean_text, r.n_kept, r.n_dropped) == (
             o.clean_text, o.n_kept, o.n_dropped
         ), doc_id
+
+
+def test_dedup_ladder_funnel_consistent_with_components(spark, sf_small):
+    """The funnel's totals must tie out against the standalone queries
+    it composes: dedup_exact (distinct hashes) and the monotone
+    total >= exact >= near-dup chain."""
+    funnel = {r["lang"]: r for r in REGISTRY["dedup_ladder_funnel"].spark(spark, sf_small).collect()}
+    n_total = sum(r["n_total"] for r in funnel.values())
+    n_exact = sum(r["n_exact_keepers"] for r in funnel.values())
+    n_near = sum(r["n_neardup_survivors"] for r in funnel.values())
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    assert n_total == docs.count()
+    assert n_exact == REGISTRY["dedup_exact"].spark(spark, sf_small).count()
+    assert 0 < n_near <= n_exact <= n_total
+    for r in funnel.values():
+        assert 0 <= r["n_neardup_survivors"] <= r["n_exact_keepers"] <= r["n_total"]
