@@ -61,6 +61,7 @@ HEADLINE = [
     "bloom_decontamination",
     "zorder_layout",
     "file_skipping_stats",
+    "range_partition_stats",
     "bpe_pair_counts",
     "feature_hash_vectors",
     "bm25_topk",

@@ -2,10 +2,13 @@
 bigram language-model quality score (the CCNet perplexity-filter shape
 without drift-prone log-probs), Bloom-filter decontamination (the
 sketch that replaces the base-corpus join in cross-snapshot dedup),
-and Z-order multi-dimensional layout (the Delta/Iceberg OPTIMIZE
-ZORDER data-plane computation).
+Z-order multi-dimensional layout + the file-skipping stats that
+measure it (the Delta/Iceberg OPTIMIZE ZORDER data plane), the
+join-skew pre-flight diagnostic, BPE tokenizer-training pair counts,
+feature-hashing document vectors, and the bucketed interval self-join
+that turns a time-window theta join into an equi-join.
 
-All three follow the repo's determinism rules (queries/__init__.py):
+All of them follow the repo's determinism rules (queries/__init__.py):
 every corpus-sized frequency is a map-side-combined groupBy joined
 back (never a window — queries/_scale_notes.py), every ratio is one
 double division of exact integers, and every bit of sketch state is
@@ -860,4 +863,108 @@ def event_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_us") - F.col("a_us")).alias("gap_us"),
         )
         .orderBy("user_id", "a_id", "b_id")
+    )
+
+
+# -- equi-depth range partitioning ----------------------------------------
+
+N_RANGES = 8
+
+_RANGE_BOUNDS = ",\n         ".join(
+    f"MIN(CASE WHEN cum >= (n_docs * {k} + {N_RANGES - 1}) // {N_RANGES} THEN n END) AS b{k}"
+    for k in range(1, N_RANGES)
+)
+_RANGE_PART_ID = " + ".join(
+    f"(CASE WHEN d.n_chars > b.b{k} THEN 1 ELSE 0 END)" for k in range(1, N_RANGES)
+)
+
+_RANGE_SQL = f"""
+WITH hist AS (SELECT n_chars AS n, COUNT(*) AS cnt FROM documents GROUP BY n_chars),
+cum AS (
+  SELECT n,
+         CAST(SUM(cnt) OVER (ORDER BY n
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n_docs
+  FROM hist
+),
+b AS (
+  SELECT MAX(n_docs) AS n_total,
+         {_RANGE_BOUNDS}
+  FROM cum
+),
+assigned AS (
+  SELECT d.n_chars, b.n_total, {_RANGE_PART_ID} AS part_id
+  FROM documents d CROSS JOIN b
+)
+SELECT part_id, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       ({1_000_000} * COUNT(*) * {N_RANGES}) // MAX(n_total) AS balance_e6
+FROM assigned GROUP BY part_id ORDER BY part_id
+"""
+
+
+@register(
+    "range_partition_stats",
+    _RANGE_SQL,
+    doc=f"Exact equi-depth range partitioning over n_chars — the "
+    "boundary computation behind repartitionByRange / Iceberg sort-"
+    f"order writes, evaluated as data: {N_RANGES - 1} type-1 quantile "
+    "boundaries (pure bigint ceil-division ranks, bit-exact across "
+    "engines — Spark's own RangePartitioner samples and is therefore "
+    "non-reproducible) assign every doc a partition, and the output is "
+    "the per-partition balance view (row counts, min/max, e6-scaled "
+    "occupancy vs the ideal 1/N share) a layout job inspects before "
+    "the rewrite: balance_e6 far from 1e6 means a skewed measure needs "
+    "finer histogram treatment. Scale shape: the only corpus-sized ops "
+    "are one map-side-combined histogram groupBy and one final "
+    "stats groupBy; the cumulative window rides HISTOGRAM rows "
+    "(cardinality = distinct values, independent of corpus size — the "
+    "length_quantiles rule) and the 1-row boundary frame broadcasts "
+    "onto the assignment scan.",
+    tags=("layout", "stats"),
+)
+def range_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.groupBy(F.col("n_chars").alias("n")).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = W.orderBy("n").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "n",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n_docs"),
+    )
+    bounds = cum.agg(
+        F.max("n_docs").alias("n_total"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(
+                        f"CAST((n_docs * {k} + {N_RANGES - 1}) DIV {N_RANGES} AS BIGINT)"
+                    ),
+                    F.col("n"),
+                )
+            ).alias(f"b{k}")
+            for k in range(1, N_RANGES)
+        ],
+    )
+    part_id = sum(
+        F.when(F.col("n_chars") > F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(1, N_RANGES)
+    )
+    assigned = d.select("n_chars").crossJoin(F.broadcast(bounds)).select(
+        "n_chars", "n_total", part_id.alias("part_id")
+    )
+    return (
+        assigned.groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.expr(
+                f"(1000000 * COUNT(*) * {N_RANGES}) DIV MAX(n_total)"
+            ).alias("balance_e6"),
+        )
+        .orderBy("part_id")
     )

@@ -339,3 +339,42 @@ def test_event_overlap_pairs_is_equi_join(spark, sf_medium):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_range_partition_stats_matches_definition(spark, sf_small):
+    from mangaextractor_spark.queries.scale_ops import N_RANGES, range_partition_stats
+
+    got = {r["part_id"]: r for r in range_partition_stats(spark, sf_small).collect()}
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    ns = sorted(docs["n_chars"].tolist())
+    n = len(ns)
+    bounds = [ns[-(-n * k // N_RANGES) - 1] for k in range(1, N_RANGES)]
+    parts: dict[int, list[int]] = defaultdict(list)
+    for v in docs["n_chars"]:
+        parts[sum(v > b for b in bounds)].append(v)
+    assert set(got) == set(parts)
+    for pid, vals in parts.items():
+        r = got[pid]
+        assert r["n_docs"] == len(vals)
+        assert (r["min_chars"], r["max_chars"]) == (min(vals), max(vals))
+        assert r["balance_e6"] == 1_000_000 * len(vals) * N_RANGES // n
+    # equi-depth: every partition within 2x of the ideal share on this
+    # smooth fixture (exact equality impossible with duplicate values)
+    for r in got.values():
+        assert 300_000 <= r["balance_e6"] <= 2_000_000
+
+
+def test_range_partition_window_rides_histogram(spark, sf_medium):
+    """The cumulative window's input must be the n_chars histogram
+    aggregate, never raw doc rows (the length_quantiles rule)."""
+    from mangaextractor_spark.queries.scale_ops import range_partition_stats
+
+    plan = (
+        range_partition_stats(spark, sf_medium)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    w_pos = plan.index("Window")
+    assert "HashAggregate" in plan[w_pos:], "window input is not pre-aggregated"
