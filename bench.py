@@ -52,6 +52,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_hamming_pairs",
     "dedup_clusters",
     "dedup_ladder_funnel",
     "near_dup_pagerank",

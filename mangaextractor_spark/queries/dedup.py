@@ -1124,3 +1124,142 @@ def dedup_ladder_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- SimHash hamming-distance pair generation ------------------------------
+
+SIMHASH_WIDE_BITS = 48
+SIMHASH_HAM_MAX = 3  # pairs at hamming distance <= 3
+SIMHASH_N_BANDS = SIMHASH_HAM_MAX + 1  # pigeonhole: >= 1 band matches exactly
+SIMHASH_BAND_BITS = SIMHASH_WIDE_BITS // SIMHASH_N_BANDS  # 12
+SIMHASH_BAND_CAP = 64  # stop-bucket rule, mirrored in the oracle
+
+
+def _simhash_wide_bits_sql() -> str:
+    terms = []
+    for b in range(SIMHASH_WIDE_BITS):
+        vote = (
+            f"list_sum(list_transform(hs, x -> CASE WHEN (x >> {b}) & 1 = 1"
+            " THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END")
+    return " + ".join(terms)
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH w AS (SELECT doc_id, list_distinct({_WS_SQL}) AS toks FROM documents),
+h AS (
+  SELECT doc_id, list_transform(toks, t -> {phash60_sql('t')}) AS hs
+  FROM w WHERE len(toks) > 0
+),
+sig AS (SELECT doc_id, CAST({_simhash_wide_bits_sql()} AS BIGINT) AS sh FROM h),
+bands AS (
+  SELECT doc_id, sh, k AS band,
+         (sh >> CAST({SIMHASH_BAND_BITS} * k AS INTEGER)) & {(1 << SIMHASH_BAND_BITS) - 1} AS bval
+  FROM sig, UNNEST(generate_series(0, {SIMHASH_N_BANDS - 1})) AS t(k)
+),
+hot AS (
+  SELECT band, bval FROM bands GROUP BY band, bval
+  HAVING COUNT(*) > {SIMHASH_BAND_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS a_sh, b.sh AS b_sh
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM hot x WHERE x.band = a.band AND x.bval = a.bval)
+)
+SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(a_sh, b_sh)) <= {SIMHASH_HAM_MAX}
+ORDER BY a_id, b_id
+"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    _SIMHASH_PAIRS_SQL,
+    doc=f"SimHash near-dup PAIR generation (Manku, Jain, Das Sarma, "
+    "WWW'07 — the web-crawl dedup construction): a {0}-bit SimHash per "
+    "doc (computed map-side by {0} vote aggregates, one corpus scan, "
+    "no shuffle), split into {1} bands of {2} bits. By pigeonhole, any "
+    "pair at hamming distance <= {3} agrees EXACTLY on at least one "
+    "band, so candidates come from {1} equi-joins on (band, value) — "
+    "the same banded-LSH shuffle shape as MinHash, AQE-skew-splittable "
+    "— and the exact popcount filter keeps only true <= {3} pairs. "
+    "Boilerplate guard: band buckets holding more than "
+    f"{SIMHASH_BAND_CAP} docs are dropped before pairing (the "
+    "stop-shingle rule transplanted to sketch space, mirrored in the "
+    "oracle), bounding the quadratic fan-out of a viral sketch value. "
+    "The registered 16-bit `simhash` stays the compact fingerprint; "
+    "this wide variant exists because banding 16 bits into 4-bit "
+    "bands would collide half the corpus per bucket.".format(
+        SIMHASH_WIDE_BITS, SIMHASH_N_BANDS, SIMHASH_BAND_BITS, SIMHASH_HAM_MAX
+    ),
+    tags=("dedup", "sketch", "join"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.array_distinct(words_col(F.col("text")))
+    base = d.filter(F.size(words_col(F.col("text"))) > 0).select(
+        "doc_id", F.transform(toks, phash60).alias("hs")
+    )
+    vote = lambda b: F.aggregate(  # noqa: E731
+        "hs",
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    sim = sum(
+        [
+            F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(SIMHASH_WIDE_BITS)
+        ],
+        F.lit(0).cast("long"),
+    )
+    sig = base.select("doc_id", sim.alias("sh"))
+    # band values via a single select (shiftright with literal bits)
+    band_rows = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("sh"), SIMHASH_BAND_BITS * k)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for k in range(SIMHASH_N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", "b.band", "b.bval")
+    band_rows = band_rows.persist()  # feeds the cap aggregate AND both join sides
+    ok = (
+        band_rows.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= SIMHASH_BAND_CAP)
+        .select("band", "bval")
+    )
+    capped = band_rows.join(ok, ["band", "bval"])
+    a = capped.select(
+        "band", "bval", F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
+    )
+    b = capped.select(
+        "band", "bval", F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("long")
+    return (
+        cand.select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .orderBy("a_id", "b_id")
+    )

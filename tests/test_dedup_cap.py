@@ -271,3 +271,80 @@ def test_dedup_ladder_funnel_consistent_with_components(spark, sf_small):
     assert 0 < n_near <= n_exact <= n_total
     for r in funnel.values():
         assert 0 <= r["n_neardup_survivors"] <= r["n_exact_keepers"] <= r["n_total"]
+
+
+def test_simhash_hamming_pairs_matches_bruteforce(spark, sf_small):
+    """Candidates from banding + stop-bucket cap + popcount filter must
+    equal the python recompute of the same construction; and without
+    the cap the banded set must be a SUBSET of brute force (pigeonhole:
+    banding never invents pairs, only the cap removes them)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from mangaextractor_spark.queries.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BAND_CAP,
+        SIMHASH_HAM_MAX,
+        SIMHASH_N_BANDS,
+        SIMHASH_WIDE_BITS,
+        simhash_hamming_pairs,
+    )
+
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in simhash_hamming_pairs(spark, sf_small).collect()}
+
+    docs = pq.read_table(f"{sf_small}/documents.parquet").to_pandas()
+    sigs = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = list(dict.fromkeys(
+            w for w in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if w
+        ))
+        if not toks:
+            continue
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        sig = 0
+        for b in range(SIMHASH_WIDE_BITS):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote > 0:
+                sig |= 1 << b
+        sigs[doc_id] = sig
+
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bucket: Counter = Counter()
+    for sig in sigs.values():
+        for k in range(SIMHASH_N_BANDS):
+            bucket[(k, (sig >> (SIMHASH_BAND_BITS * k)) & mask)] += 1
+    ids = sorted(sigs)
+    expect, brute = {}, {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham > SIMHASH_HAM_MAX:
+                continue
+            brute[(a, b)] = ham
+            for k in range(SIMHASH_N_BANDS):
+                va = (sigs[a] >> (SIMHASH_BAND_BITS * k)) & mask
+                vb = (sigs[b] >> (SIMHASH_BAND_BITS * k)) & mask
+                if va == vb and bucket[(k, va)] <= SIMHASH_BAND_CAP:
+                    expect[(a, b)] = ham
+                    break
+    assert got == expect and len(got) > 0
+    # banding + cap only ever UNDER-reports vs brute force, never invents
+    assert set(got) <= set(brute)
+    assert all(brute[k] == v for k, v in got.items())
+
+
+def test_simhash_hamming_pairs_no_window_banded_join(spark, sf_small):
+    from mangaextractor_spark.queries.dedup import simhash_hamming_pairs
+
+    plan = (
+        simhash_hamming_pairs(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
