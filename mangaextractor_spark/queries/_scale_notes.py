@@ -52,6 +52,16 @@ STOP_TERM_DF_FRAC = 0.5
 # the smallest possible payload for the corpus-sized equi-join.
 REPEATED_MIN_DF = 2
 
+# The stop-key rule transplanted to SKETCH space: simhash_hamming_pairs
+# drops band buckets holding more than this many docs before pairing
+# (dedup.SIMHASH_BAND_CAP mirrors this value). Same reasoning as
+# POSTING_CAP — a sketch value shared by a viral boilerplate family
+# generates O(n^2) candidates and carries no near-dup signal; the cap
+# is mirrored in the SQL oracle so the driver compare still matches.
+# Related: bloom_decontamination needs NO cap because the probe is a
+# constant-size broadcast map lookup — fan-out never exists.
+SKETCH_BUCKET_CAP = 64
+
 # sequence_packing / packed_sequences: the packing prefix sum is the
 # one WINDOW this repo keeps — its partition key is a HASH BUCKET whose
 # population is capped by construction (bucket count is the explicit

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..session import load_table, spread
 from . import register
 from ._portable import phash60, phash60_sql, shingles3, shingles_sql, words_col
-from ._scale_notes import POSTING_CAP, REPEATED_MIN_DF
+from ._scale_notes import POSTING_CAP, REPEATED_MIN_DF, SKETCH_BUCKET_CAP
 
 N_PERMS = 8
 BAND_SIZE = 4  # => 2 bands
@@ -1132,7 +1132,7 @@ SIMHASH_WIDE_BITS = 48
 SIMHASH_HAM_MAX = 3  # pairs at hamming distance <= 3
 SIMHASH_N_BANDS = SIMHASH_HAM_MAX + 1  # pigeonhole: >= 1 band matches exactly
 SIMHASH_BAND_BITS = SIMHASH_WIDE_BITS // SIMHASH_N_BANDS  # 12
-SIMHASH_BAND_CAP = 64  # stop-bucket rule, mirrored in the oracle
+SIMHASH_BAND_CAP = SKETCH_BUCKET_CAP  # stop-bucket rule, mirrored in the oracle (_scale_notes)
 
 
 def _simhash_wide_bits_sql() -> str:
