@@ -683,7 +683,12 @@ FROM tot LEFT JOIN reb USING (doc_id) ORDER BY tot.doc_id
     tags=("dedup", "text", "pipeline"),
 )
 def repeated_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, sf_dir, "documents"))
+    return scrub_repeated_ngrams(spread(load_table(spark, sf_dir, "documents")))
+
+
+def scrub_repeated_ngrams(d: DataFrame) -> DataFrame:
+    """Frame-level scrub over any (doc_id, text) frame — the registered
+    query above and scripts/submit_curate.py share this body."""
     ws = d.select("doc_id", words_col(F.col("text")).alias("ws"))
     toks = ws.select(
         "doc_id", F.posexplode("ws").alias("pos", "w")
