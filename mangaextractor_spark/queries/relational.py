@@ -929,3 +929,56 @@ def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *cols,
         F.col("`1-URGENT_v`").cast("double").alias("urgent_value"),
     ).orderBy("o_orderstatus")
+
+
+_UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT o_orderstatus,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS {_prio_alias(p)}"
+             for p in PIVOT_PRIORITIES
+         )}
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, priority, n_orders FROM wide
+UNPIVOT (n_orders FOR priority IN ({", ".join(_prio_alias(p) for p in PIVOT_PRIORITIES)}))
+ORDER BY o_orderstatus, priority
+"""
+
+
+@register(
+    "orders_priority_unpivot",
+    _UNPIVOT_SQL,
+    doc="Unpivot (wide -> long), the inverse of orders_priority_pivot: "
+    "the per-status priority-count matrix melts back to (status, "
+    "priority, n_orders) rows via DataFrame.unpivot — Spark's native "
+    "melt, a pure per-row expansion with ZERO additional shuffle after "
+    "the pivot aggregation (each wide row emits its |domain| long rows "
+    "in place; no exchange, no window). The declared column list "
+    "mirrors the pivot's declared domain: the round trip "
+    "pivot -> unpivot is schema-stable because both ends enumerate the "
+    "same bounded priority set. Oracle: DuckDB's UNPIVOT over the same "
+    "CASE-WHEN wide CTE.",
+    tags=("agg", "pivot"),
+)
+def orders_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(_prio_alias(p))
+            for p in PIVOT_PRIORITIES
+        ],
+    )
+    return renamed.unpivot(
+        ids=["o_orderstatus"],
+        values=[_prio_alias(p) for p in PIVOT_PRIORITIES],
+        variableColumnName="priority",
+        valueColumnName="n_orders",
+    ).orderBy("o_orderstatus", "priority")

@@ -402,3 +402,23 @@ def test_minhash_jaccard_accuracy_matches_python(spark, sf_small):
         assert r["est_jaccard"] == round(n_match / N_PERMS, 6)
         assert r["true_jaccard"] == true_j
         assert r["err_e6"] == int(round((round(n_match / N_PERMS, 6) - true_j) * 1_000_000))
+
+
+def test_unpivot_adds_no_exchange_after_pivot(spark, sf_medium):
+    """Unpivot is a per-row expansion (Expand/Generate), never a
+    shuffle: exactly the pivot aggregation's exchange may appear."""
+    from mangaextractor_spark.queries.relational import orders_priority_unpivot
+
+    plan = (
+        orders_priority_unpivot(spark, sf_medium)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the Expand (melt) node exists, and everything ABOVE it adds no
+    # hash exchange — only the presentation sort's range partitioning;
+    # the two hash exchanges below it belong to the pivot aggregation
+    assert "Expand" in plan
+    above = plan[: plan.index("Expand")]
+    assert "Exchange hashpartitioning" not in above
+    assert "Window" not in plan
