@@ -62,6 +62,9 @@ HEADLINE = [
     "bloom_decontamination",
     "zorder_layout",
     "file_skipping_stats",
+    "compaction_plan",
+    "dq_audit",
+    "temperature_sampling_weights",
     "range_partition_stats",
     "bpe_pair_counts",
     "feature_hash_vectors",

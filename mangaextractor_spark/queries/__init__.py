@@ -51,6 +51,7 @@ def _load_all() -> None:
         html_queries,
         hybrid,
         main_content,
+        maintenance,
         multimodal_queries,
         parsing_queries,
         relational,
