@@ -70,6 +70,8 @@ HEADLINE = [
     "feature_hash_vectors",
     "bm25_topk",
     "main_content_spans",
+    "caption_candidates",
+    "snapshot_drift",
     "extracted_dedup_groups",
     "chunk_spans",
     "sequence_packing",

@@ -332,3 +332,94 @@ def main_content_pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sp.kind", "sp.text", "sp.media_ref", "sp.order")
         .orderBy("doc_id", "order")
     )
+
+
+# --- image-text alignment: caption candidates ------------------------------
+
+_CAPTION_SQL = f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_SPANS_SQL} AS spans
+  FROM documents
+),
+imgs AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(spans, s -> s.kind = 'image'),
+           i -> struct_pack(
+             media_ref := i.media_ref,
+             img_offset := i."offset",
+             cands := list_filter(spans,
+               c -> c.kind = 'text' AND c.text <> '' AND c."offset" < i."offset")
+           )
+         ) AS xs
+  FROM docs
+)
+SELECT doc_id,
+       xs[i].media_ref AS media_ref,
+       CAST(xs[i].img_offset AS INT) AS img_offset,
+       CASE WHEN len(xs[i].cands) > 0
+            THEN xs[i].cands[len(xs[i].cands)].text END AS caption,
+       CASE WHEN len(xs[i].cands) > 0
+            THEN CAST(xs[i].img_offset - xs[i].cands[len(xs[i].cands)]."offset" AS INT)
+       END AS gap,
+       CAST(len(xs[i].cands) AS INT) AS n_candidates
+FROM imgs, UNNEST(generate_series(1, len(xs))) AS g(i)
+ORDER BY doc_id, img_offset
+"""
+
+
+@register(
+    "caption_candidates",
+    _CAPTION_SQL,
+    doc="Image-text alignment over the interleaved span table: for "
+    "every image span, the nearest PRECEDING non-empty plain-text span "
+    "in the same document is its caption candidate (the standard "
+    "weak-alignment heuristic multimodal training sets are built with "
+    "— LAION/MMC4-style pairing re-expressed over the north_rule "
+    "schema), with the offset gap and the candidate count as alignment "
+    "confidence signals; images with no preceding text emit NULLs so "
+    "the unaligned population stays countable. Scale shape: identical "
+    "to main_content_spans — the whole pairing is array higher-order "
+    "functions on the document's own span cell (sort by offset, a "
+    "nested filter-within-transform whose inner lambda captures the "
+    "image span), then ONE explode. ZERO exchanges: no per-doc window, "
+    "no spans self-join (the naive formulation — explode then "
+    "image-to-text theta join per doc_id — shuffles the corpus twice "
+    "and skews on span-heavy docs; the array form costs each document "
+    "exactly its own row's compute).",
+    tags=("multimodal", "alignment", "pipeline"),
+)
+def caption_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = interleaved_docs(spark, sf_dir)
+    ordered = F.array_sort(
+        F.col("spans"),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    xs = F.transform(
+        F.filter(ordered, lambda s: s["kind"] == "image"),
+        lambda i: F.struct(
+            i["media_ref"].alias("media_ref"),
+            i["offset"].cast("int").alias("img_offset"),
+            F.filter(
+                ordered,
+                lambda c: (c["kind"] == "text")
+                & (c["text"] != "")
+                & (c["offset"] < i["offset"]),
+            ).alias("cands"),
+        ),
+    )
+    x = docs.select("doc_id", F.explode(xs).alias("x"))
+    n = F.size(F.col("x.cands"))
+    best = F.element_at(F.col("x.cands"), -1)
+    return x.select(
+        "doc_id",
+        F.col("x.media_ref").alias("media_ref"),
+        F.col("x.img_offset").alias("img_offset"),
+        F.when(n > 0, best["text"]).alias("caption"),
+        F.when(n > 0, (F.col("x.img_offset") - best["offset"]).cast("int")).alias(
+            "gap"
+        ),
+        n.cast("int").alias("n_candidates"),
+    ).orderBy("doc_id", "img_offset")

