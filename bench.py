@@ -46,6 +46,8 @@ HEADLINE = [
     "running_value_per_user",
     "events_sliding_1h",
     "events_hourly",
+    "funnel_steps",
+    "retention_cohorts",
     "dedup_exact",
     "join_skew_report",
     "event_overlap_pairs",
@@ -77,6 +79,8 @@ HEADLINE = [
     "sequence_packing",
     "source_quality_rollup",
     "token_rarity_quality",
+    "quality_classifier_scores",
+    "vocab_coverage",
     "doc_fingerprint",
     "hll_distinct_tokens",
     "cm_heavy_hitters",

@@ -48,6 +48,7 @@ def _load_all() -> None:
         curation,
         dedup,
         extraction_queries,
+        funnels,
         html_queries,
         hybrid,
         main_content,
@@ -56,6 +57,7 @@ def _load_all() -> None:
         parsing_queries,
         relational,
         scale_ops,
+        scoring,
         search,
         similarity,
         textops,
