@@ -62,6 +62,9 @@ HEADLINE = [
     "repeated_ngram_scrub",
     "bigram_lm_quality",
     "bloom_decontamination",
+    "per_source_cap",
+    "event_rate_anomaly",
+    "lang_top_tokens",
     "zorder_layout",
     "file_skipping_stats",
     "compaction_plan",

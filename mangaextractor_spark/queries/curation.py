@@ -369,3 +369,68 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- per-source frequency cap ----------------------------------------------
+
+# Max documents kept per source. The Common-Crawl-style "domain cap":
+# without it a handful of template-heavy hosts dominate the corpus (the
+# C4 / Gopher / RefinedWeb pipelines all apply one). 10 cuts every
+# uniform 25-doc fixture source so the fixture exercises the cut.
+SOURCE_CAP = 10
+
+_CAP_SQL = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         {phash60_sql("CAST(doc_id AS VARCHAR)")} AS hkey
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, hkey,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hkey, doc_id)
+           AS cap_rank
+  FROM h
+)
+SELECT source, doc_id, CAST(cap_rank AS BIGINT) AS cap_rank
+FROM r WHERE cap_rank <= {SOURCE_CAP}
+ORDER BY source, cap_rank
+"""
+
+
+@register(
+    "per_source_cap",
+    _CAP_SQL,
+    doc=f"Deterministic per-source document cap (keep at most "
+    f"{SOURCE_CAP} docs per source, chosen by portable 60-bit hash of "
+    "doc_id with doc_id tiebreak) — the domain-frequency cap every "
+    "published web-corpus pipeline applies so template farms cannot "
+    "dominate the training mix. Hash selection makes the survivor set "
+    "a uniform sample that is recomputable per row (no RNG state) and "
+    "STABLE under corpus growth for the docs whose rank stays under "
+    "the cap. Scale shape: a mega-source is a corpus-sized group, so "
+    "ranking rides the bounded pre-top-k (queries/_topk.py — each task "
+    "keeps <= cap rows per source) before the exact rank window over "
+    "<= cap x n_partitions survivors; no corpus-sized window "
+    "partition ever forms.",
+    tags=("curation", "sampling", "pipeline"),
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ._topk import topk_per_group
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        phash60(F.col("doc_id").cast("string")).alias("hkey"),
+    )
+    pre = topk_per_group(
+        d, ["source"], ["hkey", "doc_id"], [True, True], SOURCE_CAP
+    )
+    w = W.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        pre.withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cap_rank") <= SOURCE_CAP)
+        .select("source", "doc_id", "cap_rank")
+        .orderBy("source", "cap_rank")
+    )

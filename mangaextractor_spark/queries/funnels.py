@@ -226,3 +226,74 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --- event-rate anomaly flags ----------------------------------------------
+
+# |z| > ANOMALY_Z flags a bucket; the test is evaluated as the exact
+# integer inequality (n*cnt - s)^2 > z^2 * (n*q - s^2) over hourly
+# counts (population variance scaled by n^2 on both sides), so the
+# flag is bit-exact across engines — no float mean/stddev anywhere.
+ANOMALY_Z = 2
+
+_ANOMALY_SQL = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+st AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(cnt) AS HUGEINT) AS s,
+         CAST(SUM(cnt * cnt) AS HUGEINT) AS q
+  FROM b GROUP BY event_type
+)
+SELECT b.event_type, b.hour, CAST(b.cnt AS BIGINT) AS cnt,
+       CAST((1000000 * s) // n AS BIGINT) AS mean_e6,
+       (n * cnt - s) * (n * cnt - s)
+         > {ANOMALY_Z * ANOMALY_Z} * (n * q - s * s) AS is_anomaly
+FROM b JOIN st USING (event_type)
+ORDER BY b.event_type, b.hour
+"""
+
+
+@register(
+    "event_rate_anomaly",
+    _ANOMALY_SQL,
+    doc=f"Hourly event-rate anomaly flags per event type: a bucket is "
+    f"anomalous when its count deviates from the type's mean by more "
+    f"than {ANOMALY_Z} population standard deviations, evaluated as "
+    "the exact integer inequality (n*cnt - s)^2 > z^2*(n*q - s^2) in "
+    "DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the flag is bit-"
+    "exact — the monitoring pass an ingestion pipeline runs to catch "
+    "crawler stalls and bot storms before they pollute the corpus "
+    "mix. Scale shape: one map-side-combined bucket groupBy (the only "
+    "corpus-sized op), a per-type stats groupBy over BUCKET rows "
+    "(bounded: types x hours, independent of corpus size), and a "
+    "broadcast join-back — never a window, never a second scan.",
+    tags=("quality", "time", "stats"),
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    DEC = "decimal(38,0)"
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    st = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("cnt").alias("s_b"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast(DEC).alias("q"),
+    )
+    j = b.join(F.broadcast(st), "event_type")
+    n_d = F.col("n_b").cast(DEC)
+    s_d = F.col("s_b").cast(DEC)
+    cnt_d = F.col("cnt").cast(DEC)
+    dev = n_d * cnt_d - s_d
+    var_n2 = n_d * F.col("q") - s_d * s_d
+    return j.select(
+        "event_type",
+        "hour",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("CAST((1000000 * s_b) DIV n_b AS BIGINT)").alias("mean_e6"),
+        (dev * dev > F.lit(ANOMALY_Z * ANOMALY_Z) * var_n2).alias("is_anomaly"),
+    ).orderBy("event_type", "hour")

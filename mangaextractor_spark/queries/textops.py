@@ -724,3 +724,59 @@ def length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad.select("lang", "n_docs", "median", F.col("median_d").alias("mad")).orderBy(
         "lang"
     )
+
+
+# --- per-language top tokens ------------------------------------------------
+
+# Top-K most frequent tokens per language (ties broken lexically): the
+# per-group heavy-hitter view a corpus report shows per language slice
+# (cm_heavy_hitters is the global sketch twin; this is the exact
+# grouped form).
+TOP_TOKENS_K = 5
+
+_TOP_TOKENS_SQL = f"""
+WITH w AS (SELECT lang, {_WS} AS ws FROM documents),
+t AS (SELECT lang, token FROM w, UNNEST(ws) AS u(token)),
+c AS (SELECT lang, token, COUNT(*) AS n FROM t GROUP BY lang, token),
+r AS (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token)
+           AS rank
+  FROM c
+)
+SELECT lang, token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {TOP_TOKENS_K}
+ORDER BY lang, rank
+"""
+
+
+@register(
+    "lang_top_tokens",
+    _TOP_TOKENS_SQL,
+    doc=f"Exact top-{TOP_TOKENS_K} tokens per language by corpus "
+    "frequency (ties broken lexically) — the grouped heavy-hitter "
+    "report behind per-language stopword lists and tokenizer-coverage "
+    "audits (cm_heavy_hitters is the global mergeable-sketch twin). "
+    "Scale shape: the token count is one explode + map-side-combined "
+    "groupBy; the candidate set per language is VOCABULARY-sized "
+    "(millions of distinct tokens for a major language), so ranking "
+    "rides the bounded pre-top-k (queries/_topk.py) — each task keeps "
+    f"<= {TOP_TOKENS_K} tokens per language — before the exact rank "
+    "window over <= k x n_partitions survivors; a bare window over "
+    "lang would carry an entire language's vocabulary into one task.",
+    tags=("text", "stats"),
+)
+def lang_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._topk import topk_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(words_col(F.col("text"))).alias("token"))
+    cnt = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    pre = topk_per_group(cnt, ["lang"], ["n", "token"], [False, True], TOP_TOKENS_K)
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        pre.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_TOKENS_K)
+        .select("lang", "token", F.col("n").cast("long").alias("n"), "rank")
+        .orderBy("lang", "rank")
+    )
