@@ -1268,3 +1268,105 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
         .orderBy("a_id", "b_id")
     )
+
+
+# -- triangle counting over the near-dup graph ----------------------------
+
+_TRI_SQL = (
+    _LSH_PAIRS_CTE
+    + """
+    , deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a_id AS node FROM pairs
+        UNION ALL
+        SELECT b_id AS node FROM pairs
+      ) GROUP BY node
+    ),
+    oe AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a_id < p.b_id)
+                  THEN p.a_id ELSE p.b_id END AS src,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a_id < p.b_id)
+                  THEN p.b_id ELSE p.a_id END AS dst
+      FROM pairs p
+      JOIN deg da ON da.node = p.a_id
+      JOIN deg db ON db.node = p.b_id
+    ),
+    tri AS (
+      SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      FROM oe e1
+      JOIN oe e2 ON e2.src = e1.dst
+      JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    members AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY node ORDER BY node
+    """
+)
+
+
+@register(
+    "near_dup_triangles",
+    _TRI_SQL,
+    doc="Per-node triangle counts over the undirected LSH candidate "
+    "graph — the local-clustering signal that separates genuine "
+    "mirror/template FARMS (dense, triangle-rich neighborhoods) from "
+    "chance banding collisions (isolated edges, no triangles), the "
+    "standard triage companion to near_dup_pagerank. Algorithm: "
+    "degree-ordered edge orientation (Suri & Vassilvitskii, WWW'11 "
+    "MapReduce triangle counting): each undirected edge is oriented "
+    "from its lower-(degree, id) endpoint to the higher one, which "
+    "bounds every node's OUT-degree by O(sqrt(m)); wedges come from "
+    "one oriented-edge self-equi-join (e1.dst = e2.src) and are "
+    "confirmed by a two-key LEFT SEMI join back to the oriented edge "
+    "set, so each triangle is found exactly once (u<v<w in the "
+    "degree order). Scale shape: every step is an equi-join or a "
+    "map-side-combined groupBy (AQE-skew-splittable; no windows, no "
+    "driver collect); the orientation step is WHY this survives a "
+    "power-law graph at 100 TB — without it the wedge join explodes "
+    "on hub nodes (deg^2 wedges per hub). The LSH subtree is "
+    "localCheckpoint'ed once and the oriented edge set once more, so "
+    "the signature pipeline runs once, not once per self-join side.",
+    tags=("dedup", "graph", "join"),
+)
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id").localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("a_id").alias("node"))
+        .unionByName(pairs.select(F.col("b_id").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a_id"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b_id"), F.col("deg").alias("db"))
+    p = pairs.join(da, "a_id").join(db, "b_id")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a_id") < F.col("b_id"))
+    )
+    oe = p.select(
+        F.when(fwd, F.col("a_id")).otherwise(F.col("b_id")).alias("src"),
+        F.when(fwd, F.col("b_id")).otherwise(F.col("a_id")).alias("dst"),
+    ).localCheckpoint()
+    e2 = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = (
+        oe.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(e2, "v")
+        .select("u", "v", "w")
+    )
+    closing = oe.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["u", "w"], "left_semi")
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return (
+        members.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )

@@ -982,3 +982,141 @@ def orders_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="priority",
         valueColumnName="n_orders",
     ).orderBy("o_orderstatus", "priority")
+
+
+# -- TPC-H Q3-shaped shipping priority ------------------------------------
+
+SHIP_SEGMENT = "BUILDING"
+SHIP_CUTOFF = "1998-06-01"
+SHIP_TOP = 10
+
+_SHIPPING_PRIORITY_SQL = f"""
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{SHIP_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{SHIP_CUTOFF}'
+  AND l.l_shipdate  > TIMESTAMP '{SHIP_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT {SHIP_TOP}
+"""
+
+
+@register(
+    "shipping_priority",
+    _SHIPPING_PRIORITY_SQL,
+    doc="TPC-H Q3-shaped shipping priority: revenue of orders taken "
+    f"before {SHIP_CUTOFF} but not yet fully shipped by then, for one "
+    "market segment, top-10 by revenue with an orderkey tie-break "
+    "(total order => stable LIMIT). Scale path: the segment filter "
+    "prunes customer map-side and the survivor broadcasts, so the "
+    "only exchange is the lineitem-orders equi-join; the shipdate "
+    "and orderdate predicates push into the parquet scans "
+    "(PushedFilters), revenue is exact DECIMAL cast to DOUBLE once, "
+    "and the final top-k is a TakeOrderedAndProject (no global sort).",
+    tags=("join", "agg", "topk"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == SHIP_SEGMENT
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(SHIP_CUTOFF).cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(SHIP_CUTOFF).cast("timestamp")
+    )
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(e * (1 - d)).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(SHIP_TOP)
+    )
+
+
+# -- TPC-H Q10-shaped returned-item ranking --------------------------------
+
+RETURN_Q_START = "1999-01-01"
+RETURN_Q_END = "1999-07-01"
+RETURN_TOP = 20
+
+_RETURNED_ITEMS_SQL = f"""
+SELECT c.c_custkey AS custkey,
+       c.c_name AS name,
+       n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_returned_items
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{RETURN_Q_START}'
+  AND o.o_orderdate <  TIMESTAMP '{RETURN_Q_END}'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, custkey
+LIMIT {RETURN_TOP}
+"""
+
+
+@register(
+    "returned_items_ranking",
+    _RETURNED_ITEMS_SQL,
+    doc="TPC-H Q10-shaped returned-item customer ranking: lost revenue "
+    "from lineitems returned in one half-year window, rolled up per "
+    "customer with the nation name attached, top-20 with a custkey "
+    "tie-break. Scale path: the returnflag predicate pushes into the "
+    "lineitem scan and the date range into orders; nation always "
+    "broadcasts and customer broadcasts at dimension scale (if the "
+    "customer table ever outgrows the broadcast threshold the join "
+    "key c_custkey is the same as the aggregation key, so one "
+    "shuffle serves both); DECIMAL-exact revenue, single DOUBLE cast, "
+    "TakeOrderedAndProject top-k.",
+    tags=("join", "agg", "topk"),
+)
+def returned_items_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(RETURN_Q_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RETURN_Q_END).cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(e * (1 - d)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .select("custkey", "name", "nation", "revenue", "n_returned_items")
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(RETURN_TOP)
+    )

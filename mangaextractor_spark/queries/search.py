@@ -184,3 +184,155 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= TOP_K).select(
         "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank")
     )
+
+
+# -- tf-idf keyword extraction ---------------------------------------------
+
+KEYWORDS_PER_DOC = 3
+# Terms in more than 95% of the corpus are stop terms for KEYWORD
+# purposes (their idf carries no per-doc signal); dropping them
+# map-side also shrinks the ranked set. Mirrored in the oracle.
+# (The synthetic vocabulary's dfs sit at 75-80%, so the whole corpus
+# survives here and the ranking itself is what the oracle exercises.)
+KEYWORD_STOP_NUM, KEYWORD_STOP_DEN = 19, 20
+
+_TFIDF_SQL = f"""
+WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+flat AS (SELECT doc_id, UNNEST(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM flat GROUP BY 1, 2),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * ((nd.n_docs * 1000000) // d.df) AS score
+  FROM tf t JOIN dft d USING (term) CROSS JOIN nd
+  WHERE d.df * {KEYWORD_STOP_DEN} <= nd.n_docs * {KEYWORD_STOP_NUM}
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= {KEYWORDS_PER_DOC} ORDER BY doc_id, rank
+"""
+
+
+@register(
+    "tfidf_topk_keywords",
+    _TFIDF_SQL,
+    doc=f"Per-document tf-idf keyword extraction (top "
+    f"{KEYWORDS_PER_DOC} terms per doc): INTEGER rational idf — score "
+    "= tf * ((n_docs * 1e6) DIV df) — so the cross-engine compare is "
+    "exact with no float anywhere (a log-idf's double would be "
+    "engine-identical too, but the integer form also makes the "
+    "stop-term rule and ranking ties auditable). Scale shape per "
+    "queries/_scale_notes.py: df comes from a map-side-combined "
+    "groupBy on term joined back with a plain equi-join "
+    "(AQE-skew-splittable; NEVER a window over term), terms in more "
+    "than 95% of the corpus are dropped before ranking (stop-term "
+    "rule, "
+    "mirrored in the oracle), and the ranking window partitions by "
+    "doc_id whose candidate set is bounded by the DOCUMENT's distinct "
+    "term count — bounded by construction, so the window-pin hazard "
+    "does not apply (contrast bm25_topk's corpus-sized candidate sets, "
+    "which route through _topk.topk_per_group).",
+    tags=("text", "search"),
+)
+def tfidf_topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d.select("doc_id", words_col(F.col("text")).alias("ws")))
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    flat = base.select("doc_id", F.explode("ws").alias("term"))
+    tf = (
+        flat.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df") * KEYWORD_STOP_DEN <= F.col("n_docs") * KEYWORD_STOP_NUM
+        )
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.expr("(n_docs * 1000000) DIV df")).alias("score"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= KEYWORDS_PER_DOC)
+        .orderBy("doc_id", "rank")
+    )
+
+
+# -- positional phrase search ----------------------------------------------
+
+PHRASE = ("hash", "join")
+
+_PHRASE_SQL = f"""
+WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+pos AS (
+  SELECT doc_id, i AS p, ws[i] AS term
+  FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] IN ('{PHRASE[0]}', '{PHRASE[1]}')
+),
+hits AS (
+  SELECT a.doc_id, a.p
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(p) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "phrase_search",
+    _PHRASE_SQL,
+    doc=f"EXACT phrase search ('{' '.join(PHRASE)}') via positional "
+    "posting intersection — the inverted-index primitive BM25's "
+    "bag-of-words scoring cannot express: a document matches only "
+    "where the phrase terms occupy ADJACENT token positions. Postings "
+    "are (doc_id, position) rows filtered map-side to the phrase "
+    "vocabulary (the analogue of bm25's broadcast-vocabulary pruning, "
+    "here a literal IN filter pushed into the token explode), so the "
+    "only shuffle is the self-equi-join on (doc_id, position+1) — "
+    "doc_id is corpus-cardinality, AQE-splittable, and each side "
+    "holds only phrase-term postings, not the corpus. Positions are "
+    "1-based token indices (both engines index the SAME tokenizer "
+    "output, so adjacency is engine-independent); n-term phrases "
+    "chain n-1 offset joins the same way.",
+    tags=("text", "search", "join"),
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d.select("doc_id", words_col(F.col("text")).alias("ws")))
+    pos = (
+        base.select("doc_id", F.posexplode("ws").alias("p0", "term"))
+        .filter(F.col("term").isin(*PHRASE))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "term")
+    )
+    a = pos.filter(F.col("term") == PHRASE[0]).select("doc_id", "p")
+    b = pos.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    hits = a.join(b, ["doc_id", "p"], "left_semi")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("p").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

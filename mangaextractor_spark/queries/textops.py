@@ -780,3 +780,96 @@ def lang_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "token", F.col("n").cast("long").alias("n"), "rank")
         .orderBy("lang", "rank")
     )
+
+
+# -- exact trimmed mean over the token-count histogram ---------------------
+
+TRIM_DEN = 20  # 5% trimmed from each tail (floor(n_docs / 20) docs)
+
+_TRIMMED_SQL = f"""
+WITH tok AS (SELECT lang, CAST(len({_WS}) AS BIGINT) AS n FROM documents),
+hist AS (SELECT lang, n, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+cum AS (
+  SELECT lang, n, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+  FROM hist
+),
+kept AS (
+  SELECT lang, n, n_docs,
+         GREATEST(CAST(0 AS BIGINT),
+                  LEAST(cum, n_docs - n_docs // {TRIM_DEN})
+                  - GREATEST(cum - cnt, n_docs // {TRIM_DEN})) AS kept_cnt
+  FROM cum
+)
+SELECT lang, n_docs,
+       n_docs // {TRIM_DEN} AS n_trimmed_each_side,
+       CAST(SUM(kept_cnt) AS BIGINT) AS n_kept,
+       MIN(CASE WHEN kept_cnt > 0 THEN n END) AS min_kept,
+       MAX(CASE WHEN kept_cnt > 0 THEN n END) AS max_kept,
+       (CAST(SUM(kept_cnt * n) AS BIGINT) * 1000000) // CAST(SUM(kept_cnt) AS BIGINT)
+         AS trimmed_mean_e6
+FROM kept GROUP BY lang, n_docs ORDER BY lang
+"""
+
+
+@register(
+    "trimmed_mean_tokens",
+    _TRIMMED_SQL,
+    doc="EXACT 5%-trimmed mean of per-document token counts per "
+    "language — the outlier-robust length statistic a curation "
+    "pipeline reports next to the straight mean (one viral 10M-token "
+    "document moves the mean, not the trimmed mean). Same scale shape "
+    "as length_quantiles: the only corpus-sized op is the "
+    "map-side-combined (lang, n) histogram groupBy; the cumulative "
+    "window runs over histogram rows (bounded by max doc length, "
+    "independent of corpus size — the window-pin hazard in "
+    "queries/_scale_notes.py does not apply). Boundary values that "
+    "straddle the trim rank are kept PARTIALLY via exact rank-interval "
+    "intersection (kept = min(cum, hi) - max(cum - cnt, lo) clamped at "
+    "0), so the result equals the sorted-and-sliced definition "
+    "bit-for-bit; the mean itself is one bigint floor-division in e6 "
+    "units — no doubles anywhere.",
+    tags=("text", "stats"),
+)
+def trimmed_mean_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.size(words_col(F.col("text"))).cast("long").alias("n"))
+    hist = tok.groupBy("lang", "n").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = W.partitionBy("lang").orderBy("n").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "n",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_docs"),
+    )
+    k = F.expr(f"n_docs DIV {TRIM_DEN}")
+    hi = F.col("n_docs") - k
+    kept_cnt = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), hi) - F.greatest(F.col("cum") - F.col("cnt"), k),
+    )
+    kept = cum.select("lang", "n", "n_docs", kept_cnt.alias("kept_cnt"))
+    return (
+        kept.groupBy("lang", "n_docs")
+        .agg(
+            F.sum("kept_cnt").cast("long").alias("n_kept"),
+            F.min(F.when(F.col("kept_cnt") > 0, F.col("n"))).alias("min_kept"),
+            F.max(F.when(F.col("kept_cnt") > 0, F.col("n"))).alias("max_kept"),
+            F.expr("(CAST(SUM(kept_cnt * n) AS BIGINT) * 1000000)"
+                   " DIV CAST(SUM(kept_cnt) AS BIGINT)").alias("trimmed_mean_e6"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.expr(f"n_docs DIV {TRIM_DEN}").alias("n_trimmed_each_side"),
+            "n_kept",
+            "min_kept",
+            "max_kept",
+            "trimmed_mean_e6",
+        )
+        .orderBy("lang")
+    )
