@@ -776,3 +776,101 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# -- int8 embedding quantization audit -------------------------------------
+
+QUANT_LEVELS = 127  # symmetric int8: q in [-127, 127]
+
+_QUANT_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+m AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) AS maxabs
+  FROM e
+),
+q AS (
+  SELECT vec_id,
+         CAST(len(emb) AS BIGINT) AS dims,
+         CAST(FLOOR(maxabs * 1000000000.0) AS BIGINT) AS scale_e9,
+         list_transform(emb,
+           x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(FLOOR(x * {QUANT_LEVELS}.0 / maxabs + 0.5) AS BIGINT)
+                END) AS qv,
+         CASE WHEN maxabs = 0 THEN 0.0 ELSE list_reduce(
+           list_transform(emb,
+             x -> abs(FLOOR(x * {QUANT_LEVELS}.0 / maxabs + 0.5)
+                      * maxabs / {QUANT_LEVELS}.0 - x)),
+           (acc, v) -> acc + v) END AS err
+  FROM m
+)
+SELECT vec_id, dims, scale_e9,
+       CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS qsum,
+       CAST(list_reduce(list_transform(qv, v -> abs(v)), (a, b) -> a + b)
+            AS BIGINT) AS ql1,
+       CAST(len(list_filter(qv, v -> abs(v) = {QUANT_LEVELS})) AS BIGINT) AS n_sat,
+       CAST(FLOOR(err * 1000000000.0) AS BIGINT) AS err_l1_e9
+FROM q ORDER BY vec_id
+"""
+
+
+@register(
+    "embedding_quantization",
+    _QUANT_SQL,
+    doc="Symmetric int8 quantization audit per embedding vector — the "
+    "pre-flight report for shipping a 100 TB embedding column to an "
+    "ANN index at 4x smaller storage: per-vector scale (max |x| / "
+    f"{QUANT_LEVELS}), quantized checksum + L1 mass (exact BIGINTs, "
+    "order-independent), saturation count, and the L1 reconstruction "
+    "error accumulated by an ORDERED left fold in e9 units (every "
+    "per-element op is one correctly-rounded IEEE double primitive on "
+    "an identical expression tree in both engines, and the fold order "
+    "is the list order on both, so the driver hash is exact — a "
+    "shuffle-order SUM of doubles would not be). Scale shape: one "
+    "corpus scan, everything map-side inside whole-stage codegen, "
+    "ZERO shuffles (the orderBy is presentation only); the quantized "
+    "vectors themselves would be written alongside, not collected.",
+    tags=("similarity", "multimodal"),
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    maxabs = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    m = e.select("vec_id", "emb", maxabs.alias("maxabs"))
+    lv = F.lit(float(QUANT_LEVELS))
+
+    def quant(x):
+        return F.floor(x * lv / F.col("maxabs") + F.lit(0.5)).cast("long")
+
+    def err_term(x):
+        return F.abs(
+            F.floor(x * lv / F.col("maxabs") + F.lit(0.5)) * F.col("maxabs") / lv - x
+        )
+
+    qv = F.when(F.col("maxabs") == 0, F.transform("emb", lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform("emb", quant)
+    )
+    err = F.when(F.col("maxabs") == 0, F.lit(0.0)).otherwise(
+        F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + err_term(x))
+    )
+    q = m.select(
+        "vec_id",
+        F.size("emb").cast("long").alias("dims"),
+        F.floor(F.col("maxabs") * F.lit(1000000000.0)).cast("long").alias("scale_e9"),
+        qv.alias("qv"),
+        err.alias("err"),
+    )
+    return q.select(
+        "vec_id",
+        "dims",
+        "scale_e9",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, b: a + b).alias("qsum"),
+        F.aggregate(
+            F.transform("qv", lambda v: F.abs(v)), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("ql1"),
+        F.size(F.filter("qv", lambda v: F.abs(v) == QUANT_LEVELS)).cast("long").alias("n_sat"),
+        F.floor(F.col("err") * F.lit(1000000000.0)).cast("long").alias("err_l1_e9"),
+    ).orderBy("vec_id")
