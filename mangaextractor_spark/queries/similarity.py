@@ -378,10 +378,13 @@ NEAR_DUP_SIM = 0.4
     "widened threshold, emitting candidate pairs. Nothing is collected "
     "to the driver and task memory is bounded by 2*(n/B)*dim doubles — "
     "B is the knob that trades shuffle volume (n*B rows) for per-task "
-    "memory at corpus scale. Survivors (a few hundred) are rescored "
-    "with the sequential-sum Spark expression that is bit-identical to "
-    "the DuckDB oracle, so numpy's pairwise-summation ulp drift cannot "
-    "flip a boundary. (The O(n^2/B)-compute sweep is inherent to exact "
+    "memory at corpus scale. Survivors are rescored with the "
+    "sequential-sum Spark expression that is bit-identical to the "
+    "DuckDB oracle, so numpy's pairwise-summation ulp drift cannot "
+    "flip a boundary; the rescore joins carry NO broadcast hints — the "
+    "candidate set is data-dependent and unbounded, so AQE decides "
+    "(broadcast when small, sort-merge + skew-split when not). "
+    "(The O(n^2/B)-compute sweep is inherent to exact "
     "all-pairs semantics; the LSH/IVF operators are the sublinear "
     "100 TB path.)".format(N_BLOCKS=8),
     tags=("dedup", "similarity"),
@@ -453,12 +456,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), F.col("nrm").alias("b_nrm")
     )
     sim = F.round(_dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 6)
-    # Both joins broadcast the tiny side (candidate pairs, then the
-    # candidate-enriched intermediate); the embedding table itself only
-    # ever streams.
-    half = a.join(F.broadcast(cand), "a_id")
+    # No broadcast hints: the candidate-pair count is data-dependent and
+    # unbounded at corpus scale (millions of pairs x an embedding array
+    # each once enriched), so a forced broadcast is an OOM hazard, not a
+    # fast path. Both rescore joins are plain equi-joins on vec_id — AQE
+    # broadcasts them at runtime when the built side is genuinely small
+    # and skew-splits them when it is not.
+    half = a.join(cand, "a_id")
     return (
-        b.join(F.broadcast(half), "b_id")
+        b.join(half, "b_id")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= NEAR_DUP_SIM)
         .select("a_id", "b_id", "sim")
@@ -788,7 +794,7 @@ WITH e AS (
 ),
 m AS (
   SELECT vec_id, emb,
-         list_max(list_transform(emb, x -> abs(x))) AS maxabs
+         COALESCE(list_max(list_transform(emb, x -> abs(x))), 0.0) AS maxabs
   FROM e
 ),
 q AS (
@@ -797,19 +803,22 @@ q AS (
          CAST(FLOOR(maxabs * 1000000000.0) AS BIGINT) AS scale_e9,
          list_transform(emb,
            x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
-                     ELSE CAST(FLOOR(x * {QUANT_LEVELS}.0 / maxabs + 0.5) AS BIGINT)
+                     ELSE CAST(FLOOR(abs(x) * {QUANT_LEVELS}.0 / maxabs + 0.5)
+                               * sign(x) AS BIGINT)
                 END) AS qv,
          CASE WHEN maxabs = 0 THEN 0.0 ELSE list_reduce(
            list_transform(emb,
-             x -> abs(FLOOR(x * {QUANT_LEVELS}.0 / maxabs + 0.5)
+             x -> abs(FLOOR(abs(x) * {QUANT_LEVELS}.0 / maxabs + 0.5) * sign(x)
                       * maxabs / {QUANT_LEVELS}.0 - x)),
            (acc, v) -> acc + v) END AS err
   FROM m
 )
 SELECT vec_id, dims, scale_e9,
-       CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS qsum,
-       CAST(list_reduce(list_transform(qv, v -> abs(v)), (a, b) -> a + b)
-            AS BIGINT) AS ql1,
+       CASE WHEN len(qv) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) END AS qsum,
+       CASE WHEN len(qv) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(list_reduce(list_transform(qv, v -> abs(v)), (a, b) -> a + b)
+                      AS BIGINT) END AS ql1,
        CAST(len(list_filter(qv, v -> abs(v) = {QUANT_LEVELS})) AS BIGINT) AS n_sat,
        CAST(FLOOR(err * 1000000000.0) AS BIGINT) AS err_l1_e9
 FROM q ORDER BY vec_id
@@ -828,7 +837,12 @@ FROM q ORDER BY vec_id
     "per-element op is one correctly-rounded IEEE double primitive on "
     "an identical expression tree in both engines, and the fold order "
     "is the list order on both, so the driver hash is exact — a "
-    "shuffle-order SUM of doubles would not be). Scale shape: one "
+    "shuffle-order SUM of doubles would not be). Rounding is sign-"
+    "aware round-half-away-from-zero (FLOOR(|x|*L/s + .5)*sign(x)), "
+    "the conventional symmetric-int8 tie rule; zero-length embeddings "
+    "are defined as zero vectors (scale 0, all stats 0) in BOTH "
+    "engines rather than one crashing and one returning NULLs "
+    "(round-4 ADVICE items). Scale shape: one "
     "corpus scan, everything map-side inside whole-stage codegen, "
     "ZERO shuffles (the orderBy is presentation only); the quantized "
     "vectors themselves would be written alongside, not collected.",
@@ -838,16 +852,27 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    maxabs = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    # COALESCE so a zero-length embedding behaves exactly like a zero
+    # vector (maxabs 0 -> qv [], stats 0) instead of NULL-poisoning the
+    # stats on the Spark side while the DuckDB oracle crashes on
+    # list_reduce([]) — the silent divergence flagged by round-4 ADVICE.
+    maxabs = F.coalesce(F.array_max(F.transform("emb", lambda x: F.abs(x))), F.lit(0.0))
     m = e.select("vec_id", "emb", maxabs.alias("maxabs"))
     lv = F.lit(float(QUANT_LEVELS))
 
+    # Sign-aware round-half-away-from-zero (FLOOR(|x|*L/maxabs + .5) *
+    # sign(x)) — the conventional symmetric-int8 tie rule; negative
+    # ties round away from zero (-126.5 -> -127), matching standard
+    # quantizers. Identical expression tree in the DuckDB oracle.
     def quant(x):
-        return F.floor(x * lv / F.col("maxabs") + F.lit(0.5)).cast("long")
+        return (
+            F.floor(F.abs(x) * lv / F.col("maxabs") + F.lit(0.5)) * F.signum(x)
+        ).cast("long")
 
     def err_term(x):
         return F.abs(
-            F.floor(x * lv / F.col("maxabs") + F.lit(0.5)) * F.col("maxabs") / lv - x
+            F.floor(F.abs(x) * lv / F.col("maxabs") + F.lit(0.5)) * F.signum(x)
+            * F.col("maxabs") / lv - x
         )
 
     qv = F.when(F.col("maxabs") == 0, F.transform("emb", lambda x: F.lit(0).cast("long"))).otherwise(

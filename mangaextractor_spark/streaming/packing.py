@@ -48,13 +48,14 @@ PACKED_SCHEMA = (
 _CURSOR_SCHEMA = "next_offset long"
 
 
-def _tokenized(docs: DataFrame) -> DataFrame:
+def _tokenized(docs: DataFrame, n_buckets: int = PACK_BUCKETS) -> DataFrame:
     """Map-side token counts + bucket ids — the same expressions as the
-    batch operator (queries/corpus_prep.py:_packing_frame)."""
+    batch operator (queries/corpus_prep.py:_packing_frame), sharing its
+    ``n_buckets`` parallelism knob."""
     return docs.select(
         "doc_id",
         F.size(words_col(F.col("text"))).cast("int").alias("n_tokens"),
-        (phash60(F.col("doc_id").cast("string")) % PACK_BUCKETS)
+        (phash60(F.col("doc_id").cast("string")) % n_buckets)
         .cast("int")
         .alias("bucket"),
     )
@@ -87,15 +88,18 @@ def stream_sequence_packing(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    n_buckets: int = PACK_BUCKETS,
 ) -> StreamingQuery:
     """Continuously pack documents landing as parquet files in
     ``docs_dir`` (schema: doc_id long, text string, ...) into
-    per-bucket token streams; emits one packed row per doc per batch."""
+    per-bucket token streams; emits one packed row per doc per batch.
+    ``n_buckets`` mirrors the batch operator's knob — state is one
+    cursor row per bucket, so it also bounds the state store size."""
     reader = spark.readStream.schema("doc_id long, text string")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     docs = reader.parquet(docs_dir)
-    packed: Any = _tokenized(docs).groupBy("bucket").applyInPandasWithState(
+    packed: Any = _tokenized(docs, n_buckets).groupBy("bucket").applyInPandasWithState(
         _pack_bucket,
         PACKED_SCHEMA,
         _CURSOR_SCHEMA,
