@@ -53,6 +53,8 @@ HEADLINE = [
     "event_overlap_pairs",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_join",
+    "cross_snapshot_containment",
     "simhash",
     "simhash_hamming_pairs",
     "dedup_clusters",

@@ -53,6 +53,7 @@ def _load_all() -> None:
         hybrid,
         main_content,
         maintenance,
+        minhash_join,
         multimodal_queries,
         parsing_queries,
         relational,
