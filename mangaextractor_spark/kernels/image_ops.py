@@ -37,6 +37,11 @@ from dataclasses import dataclass
 import numpy as np
 
 BINARY_THRESHOLD = 190  # reference core/defaults.py:13
+# Row-block height for the tiled separable blur: 64 rows x 840 cols x
+# 4 B ~= 215 KB per array, ~1 MB total working set — fits one core's
+# L2 even with every core running its own page, which is the point
+# (the ladder is bandwidth-, not compute-, limited on wide boxes).
+_BLUR_TILE_ROWS = 64
 CC_SCALE_MIN = 0.15  # reference core/defaults.py:16
 CC_SCALE_MAX = 4.0  # reference core/defaults.py:17
 SMOOTHING_MULTIPLIER = 0.75  # reference core/defaults.py:18-19
@@ -75,9 +80,41 @@ def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
     k = np.exp(-(x * x) / (2 * sigma * sigma))
     k /= k.sum()
     k = k.astype(np.float32)
-    out = np.asarray(img, dtype=np.float32)
-    out = _conv1d(out, k, axis=1)
-    out = _conv1d(out, k, axis=0)
+    if len(k) > 9:
+        # big kernels (only reachable with non-adaptive sigmas) keep the
+        # windowed-matmul path; the tiled loop below mirrors the
+        # small-kernel tap order for bit-identity
+        out = np.asarray(img, dtype=np.float32)
+        out = _conv1d(out, k, axis=1)
+        out = _conv1d(out, k, axis=0)
+        return out
+    # Row-tiled separable convolution: both passes run inside an
+    # L2-sized row block (halo rows index-clamped == edge padding), so
+    # the float32 intermediates never round-trip DRAM — the untiled
+    # form streamed ~8 full-page float arrays per page, which is what
+    # pinned the 840x1200 robust ladder at 0.60 N->4N scaling on a
+    # single box (round-4 verdict item 7: the ladder was host-DRAM
+    # bound, not compute bound). Tap accumulation order matches
+    # _conv1d's small-kernel branch exactly, so outputs are
+    # bit-identical to the untiled path (asserted in tests).
+    h, w = img.shape
+    out = np.empty((h, w), dtype=np.float32)
+    tile = max(2 * r + 1, _BLUR_TILE_ROWS)
+    for y0 in range(0, h, tile):
+        y1 = min(h, y0 + tile)
+        if y0 - r >= 0 and y1 + r <= h:
+            block = np.asarray(img[y0 - r : y1 + r], dtype=np.float32)
+        else:
+            idx = np.clip(np.arange(y0 - r, y1 + r), 0, h - 1)
+            block = np.asarray(img[idx], dtype=np.float32)
+        hb = _conv1d(block, k, axis=1)
+        n = y1 - y0
+        acc = hb[r : r + n] * k[r]
+        for i in range(1, r + 1):
+            t = hb[r - i : r - i + n] + hb[r + i : r + i + n]
+            t *= k[r + i]
+            acc += t
+        out[y0:y1] = acc
     return out
 
 

@@ -151,6 +151,29 @@ class TestSegmentation:
         assert out.max() < 10.0
         assert abs(out.sum() - 100.0) < 1.0
 
+    def test_tiled_blur_bit_identical_to_untiled(self):
+        """The row-tiled blur (bandwidth fix for the 840x1200 robust
+        ladder) must be BIT-identical to the reference untiled
+        separable form — same tap order, halo clamping == edge pad —
+        across tile-boundary shapes and adaptive-sigma values."""
+        from mangaextractor_spark.kernels import image_ops as io_
+
+        def untiled(img, sigma):
+            r = max(1, int(3 * sigma + 0.5))
+            x = np.arange(-r, r + 1, dtype=np.float64)
+            k = np.exp(-(x * x) / (2 * sigma * sigma))
+            k /= k.sum()
+            k = k.astype(np.float32)
+            out = np.asarray(img, dtype=np.float32)
+            out = io_._conv1d(out, k, axis=1)
+            return io_._conv1d(out, k, axis=0)
+
+        rng = np.random.default_rng(7)
+        for shape in [(1200, 840), (64, 40), (65, 40), (5, 5), (130, 30)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            for sigma in (0.1, 0.52, 0.8, 1.3):
+                assert np.array_equal(gaussian_blur(img, sigma), untiled(img, sigma))
+
     def test_binarize_threshold(self):
         img = np.array([[0, 189, 190, 255]], dtype=np.uint8)
         assert binarize(img).tolist() == [[True, True, False, False]]
