@@ -54,6 +54,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "minhash_join",
+    "near_dup_bloom_gate",
     "cross_snapshot_containment",
     "simhash",
     "simhash_hamming_pairs",
@@ -92,6 +93,8 @@ HEADLINE = [
     "embedding_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "pq_codes",
+    "ivf_pq_ann_topk",
     "dedup_embedding_cosine",
     "kmeans_assign",
     "kmeans_fit",

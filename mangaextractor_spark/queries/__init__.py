@@ -53,9 +53,11 @@ def _load_all() -> None:
         hybrid,
         main_content,
         maintenance,
+        minhash_gate,
         minhash_join,
         multimodal_queries,
         parsing_queries,
+        pq,
         relational,
         scale_ops,
         scoring,
@@ -124,6 +126,9 @@ _WITNESS_FIRST: tuple[str, ...] = (
     "minhash_join",
     "minhash_join_best_match",
     "cross_snapshot_containment",
+    "pq_codes",
+    "ivf_pq_ann_topk",
+    "near_dup_bloom_gate",
 )
 
 
