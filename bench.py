@@ -55,6 +55,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "minhash_join",
     "near_dup_bloom_gate",
+    "image_dhash_pairs",
     "cross_snapshot_containment",
     "simhash",
     "simhash_hamming_pairs",

@@ -81,6 +81,89 @@ def media_fixture_path() -> str:
     return path
 
 
+_PHASH_SPEC = dict(n_images=48, seed=23, n_flat=18)
+_PHASH_NAME = "phash_" + "_".join(f"{k}{v}" for k, v in sorted(_PHASH_SPEC.items())) + ".parquet"
+
+
+def phash_fixture_path() -> str:
+    """Write-once fixture for the perceptual-hash image-dedup family:
+    (media_ref, image_bytes, width, height, gray_pixels) where
+    image_bytes is a LOSSLESS gray PNG of exactly gray_pixels
+    (row-major uint8 list). The Spark queries DECODE image_bytes with
+    the real decoder and never read gray_pixels; the DuckDB oracle
+    recomputes the hash from gray_pixels — so oracle parity proves the
+    integer dHash arithmetic in both engines AND decode(encode(x)) == x
+    on the real byte path. (JPEG is excluded by design: lossy decode
+    output != source pixels, and JPEG decode correctness has its own
+    golden tests.)
+
+    Content: structured base images (gradient + seeded rectangles);
+    every third image is a near-duplicate of its predecessor (small
+    seeded pixel perturbation -> a few flipped dHash bits, landing
+    within the Hamming join threshold); plus a family of n_flat
+    near-flat images whose degenerate all-zero bands exercise the
+    hot-band cap."""
+    path = os.path.join(FIXTURE_DIR, _PHASH_NAME)
+    if os.path.exists(path):
+        return path
+    import numpy as np
+    import pandas as pd
+
+    from .png import encode_gray_png
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    rows = []
+    prev = None
+    for ii in range(_PHASH_SPEC["n_images"]):
+        rng = np.random.Generator(np.random.PCG64(_PHASH_SPEC["seed"] * 1000 + ii))
+        if ii % 3 == 2 and prev is not None:
+            img = prev.astype(np.int64)
+            # sparse +-8 perturbation on ~2% of pixels + small uniform
+            # brightness shift: flips only a handful of dHash bits
+            mask = rng.random(img.shape) < 0.02
+            img = img + mask * rng.integers(-8, 9, img.shape) + int(rng.integers(-3, 4))
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        else:
+            w = int(rng.integers(48, 160))
+            h = int(rng.integers(40, 128))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 255) // max(w - 1, 1) // 2 + (yy * 255) // max(h - 1, 1) // 2).astype(
+                np.uint8
+            )
+            for _ in range(int(rng.integers(2, 6))):
+                x0, y0 = int(rng.integers(0, w - 8)), int(rng.integers(0, h - 8))
+                bw, bh = int(rng.integers(4, w - x0)), int(rng.integers(4, h - y0))
+                img[y0 : y0 + bh, x0 : x0 + bw] = int(rng.integers(0, 256))
+        prev = img
+        rows.append(
+            {
+                "media_ref": f"img/page{ii:03d}.png",
+                "image_bytes": encode_gray_png(img),
+                "width": img.shape[1],
+                "height": img.shape[0],
+                "gray_pixels": img.ravel().astype(np.int64).tolist(),
+            }
+        )
+    for fi in range(_PHASH_SPEC["n_flat"]):
+        # constant gray -> every band 0, i.e. one degenerate hot band
+        # bucket shared by all n_flat images
+        w, h = 64, 48
+        img = np.full((h, w), 128 + (fi % 3), dtype=np.uint8)
+        rows.append(
+            {
+                "media_ref": f"img/flat{fi:03d}.png",
+                "image_bytes": encode_gray_png(img),
+                "width": w,
+                "height": h,
+                "gray_pixels": img.ravel().astype(np.int64).tolist(),
+            }
+        )
+    tmp = tempfile.mktemp(dir=FIXTURE_DIR, suffix=".parquet.tmp")
+    pd.DataFrame(rows).to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
 _AUDIO_SPEC = dict(n_clips=24, seed=11, max_n=3500)
 _AUDIO_NAME = "audio_" + "_".join(f"{k}{v}" for k, v in sorted(_AUDIO_SPEC.items())) + ".parquet"
 

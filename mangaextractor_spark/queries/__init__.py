@@ -51,6 +51,7 @@ def _load_all() -> None:
         funnels,
         html_queries,
         hybrid,
+        image_dedup,
         main_content,
         maintenance,
         minhash_gate,
@@ -129,6 +130,8 @@ _WITNESS_FIRST: tuple[str, ...] = (
     "pq_codes",
     "ivf_pq_ann_topk",
     "near_dup_bloom_gate",
+    "image_dhash",
+    "image_dhash_pairs",
 )
 
 
