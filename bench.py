@@ -104,6 +104,8 @@ HEADLINE = [
     "incremental_dedup",
     "length_quantiles",
     "merge_upsert_orders",
+    "large_volume_customers",
+    "scd2_type_history",
     "langid_confusion",
     "token_counts",
 ]

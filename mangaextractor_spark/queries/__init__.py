@@ -132,6 +132,8 @@ _WITNESS_FIRST: tuple[str, ...] = (
     "near_dup_bloom_gate",
     "image_dhash",
     "image_dhash_pairs",
+    "large_volume_customers",
+    "scd2_type_history",
 )
 
 

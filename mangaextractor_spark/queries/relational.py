@@ -1120,3 +1120,163 @@ def returned_items_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "custkey")
         .limit(RETURN_TOP)
     )
+
+
+# -- TPC-H Q18-shaped large-volume customers -------------------------------
+
+LV_QTY_THRESHOLD = 300
+LV_TOP = 50
+
+_LARGE_VOLUME_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {LV_QTY_THRESHOLD}
+)
+SELECT c.c_name AS name,
+       c.c_custkey AS custkey,
+       o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN big        ON big.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'),
+         o.o_totalprice
+ORDER BY sum_qty DESC, orderkey
+LIMIT {LV_TOP}
+"""
+
+
+@register(
+    "large_volume_customers",
+    _LARGE_VOLUME_SQL,
+    doc=f"TPC-H Q18-shaped large-volume customers: orders whose total "
+    f"lineitem quantity exceeds {LV_QTY_THRESHOLD}, with the owning "
+    f"customer attached, top-{LV_TOP} by quantity (orderkey "
+    "tie-break => stable LIMIT). Scale path: the HAVING pre-aggregate "
+    "is a map-side-combined groupBy over (orderkey) — the classic "
+    "semi-join reduction — and the qualifying-order id set joins back "
+    "as a plain equi-join AQE can broadcast when it is small (no "
+    "static hint: the threshold makes its size data-dependent); "
+    "quantity sums are exact DECIMAL cast to DOUBLE once at the end; "
+    "the final top-k is a TakeOrderedAndProject, never a global sort.",
+    tags=("join", "agg", "topk"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(q).alias("oq"))
+        .filter(F.col("oq") > LV_QTY_THRESHOLD)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    joined = (
+        l.join(big, l.l_orderkey == F.col("big_orderkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("tp"),
+        )
+        .agg(F.sum(q).cast("double").alias("sum_qty"))
+        .select(
+            "name",
+            "custkey",
+            "orderkey",
+            "orderdate",
+            F.col("tp").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "orderkey")
+        .limit(LV_TOP)
+    )
+
+
+# -- SCD2 change history (gaps and islands) --------------------------------
+
+_SCD2_SQL = """
+WITH m AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT user_id, event_type, ts,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS version
+  FROM m
+),
+g AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM isl GROUP BY user_id, version, event_type
+)
+SELECT user_id, version, event_type,
+       epoch_us(valid_from) AS valid_from_us,
+       COALESCE(epoch_us(LEAD(valid_from) OVER
+                 (PARTITION BY user_id ORDER BY valid_from)),
+                CAST(-1 AS BIGINT)) AS valid_to_us,
+       n_events
+FROM g ORDER BY user_id, version
+"""
+
+
+@register(
+    "scd2_type_history",
+    _SCD2_SQL,
+    doc="Slowly-changing-dimension type-2 build from an event log "
+    "(gaps-and-islands): per user, consecutive same-type events "
+    "collapse into one versioned validity interval "
+    "[valid_from_us, valid_to_us) (-1 = current/open — a sentinel "
+    "instead of NULL so both engines emit non-null BIGINTs), with the "
+    "island's event count. The warehouse-history operator every CDC "
+    "ingest needs. Scale shape: every window partitions by user_id and "
+    "is bounded by that user's own event count (the running_value "
+    "discipline — ordered per-entity change detection is inherently "
+    "per-entity-sequential; entities parallelize), ties fully broken "
+    "by (ts, event_id), interval edges as epoch microseconds.",
+    tags=("window", "history"),
+)
+def scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    change = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    isl = e.withColumn(
+        "version",
+        F.sum(change).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+    g = isl.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    # NTZ + UTC session = epoch_us (the scale_ops event-time pattern)
+    valid_to = F.unix_micros(F.lead("valid_from").over(w2).cast("timestamp"))
+    return (
+        g.select(
+            "user_id",
+            "version",
+            "event_type",
+            F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+            F.coalesce(valid_to, F.lit(-1).cast("long")).alias("valid_to_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
