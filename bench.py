@@ -108,6 +108,8 @@ HEADLINE = [
     "scd2_type_history",
     "langid_confusion",
     "token_counts",
+    "unicode_normalization_stats",
+    "normalization_rollup",
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "128"))

@@ -57,6 +57,7 @@ def _load_all() -> None:
         minhash_gate,
         minhash_join,
         multimodal_queries,
+        normalize,
         parsing_queries,
         pq,
         relational,
@@ -134,6 +135,8 @@ _WITNESS_FIRST: tuple[str, ...] = (
     "image_dhash_pairs",
     "large_volume_customers",
     "scd2_type_history",
+    "unicode_normalization_stats",
+    "normalization_rollup",
 )
 
 
