@@ -84,6 +84,7 @@ HEADLINE = [
     "extracted_dedup_groups",
     "chunk_spans",
     "sequence_packing",
+    "shard_plan",
     "source_quality_rollup",
     "token_rarity_quality",
     "quality_classifier_scores",
@@ -92,6 +93,7 @@ HEADLINE = [
     "hll_distinct_tokens",
     "cm_heavy_hitters",
     "embedding_topk",
+    "hard_negatives",
     "lsh_ann_topk",
     "ivf_ann_topk",
     "pq_codes",

@@ -137,6 +137,8 @@ _WITNESS_FIRST: tuple[str, ...] = (
     "scd2_type_history",
     "unicode_normalization_stats",
     "normalization_rollup",
+    "hard_negatives",
+    "shard_plan",
 )
 
 

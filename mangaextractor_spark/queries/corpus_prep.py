@@ -688,3 +688,111 @@ def extracted_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_band_pairs(hashed_shingles_from(ex, text_col="full_text")).orderBy(
         "a_id", "b_id"
     )
+
+
+# --- training shard plan ----------------------------------------------------
+
+# WebDataset-style output sharding: every training run consumes the
+# corpus as a fixed set of shard files, so the curation pipeline's last
+# step is a deterministic doc -> shard assignment plus a manifest row
+# per shard (counts + a content fingerprint) that the trainer validates
+# against before reading. 16 here; at 100 TB you size shard count so a
+# shard is ~the trainer's prefetch unit (a few GB), i.e. tens of
+# thousands of shards.
+N_SHARDS = 16
+_SHARD_SALT = "shard:"  # decorrelates from split/sample buckets
+_FP_MOD = 1_000_000_007  # fingerprint summand modulus: 60-bit hash
+# % 1e9+7 summed over billions of rows stays far inside int64
+
+_SHARD_SQL = f"""
+WITH s AS (
+  SELECT {phash60_sql("'" + _SHARD_SALT + "' || CAST(doc_id AS VARCHAR)")}
+           % {N_SHARDS} AS shard,
+         len({WORDS_SQL.format(t="text")}) AS n_tokens,
+         n_chars,
+         {phash60_sql("CAST(doc_id AS VARCHAR)")} % {_FP_MOD} AS fp
+  FROM documents
+),
+per AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(SUM(fp) AS BIGINT) AS manifest_fp
+  FROM s GROUP BY shard
+),
+tot AS (SELECT SUM(n_tokens) AS tot_tokens FROM per)
+SELECT shard, n_docs, n_tokens, n_chars, manifest_fp,
+       CAST(n_tokens * {N_SHARDS} AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+         AS load_ratio
+FROM per, tot ORDER BY shard
+"""
+
+
+@register(
+    "shard_plan",
+    _SHARD_SQL,
+    doc=f"Deterministic training-shard manifest (the WebDataset-style "
+    f"emit step that ends every curation run): salted-hash doc -> "
+    f"shard assignment over {N_SHARDS} shards, one manifest row per "
+    "shard with doc/token/char counts, an order-insensitive content "
+    "fingerprint (sum of per-doc 60-bit hashes mod 1e9+7 — the trainer "
+    "re-derives it from the shard it read and refuses a mismatch), and "
+    "load_ratio = this shard's token share relative to perfect balance "
+    "(1.0 = perfectly even; the pre-write skew check). Scale shape: "
+    "one scan, one map-side-combined groupBy on the shard key (fan-in "
+    f"{N_SHARDS} rows), and the total joins back as a broadcast single "
+    "row — no window, no second scan. Assignment is a pure Column "
+    "recomputable per row in isolation, so a grown corpus never "
+    "reshuffles prior docs across shards (append-stable like "
+    "train_val_split). The salt decorrelates shard from the split and "
+    "sample buckets.",
+    tags=("text", "pipeline", "training"),
+)
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        shard_col().alias("shard"),
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+        "n_chars",
+        F.pmod(phash60(F.col("doc_id").cast("string")), F.lit(_FP_MOD)).alias("fp"),
+    )
+    return shard_manifest(s)
+
+
+def shard_col(doc_id: str = "doc_id", n_shards: int = N_SHARDS) -> F.Column:
+    """Deterministic salted-hash shard assignment — a pure Column, so a
+    grown corpus never reshuffles previously assigned docs. Shared by
+    the registered shard_plan query and scripts/submit_curate.py."""
+    return F.pmod(
+        phash60(F.concat(F.lit(_SHARD_SALT), F.col(doc_id).cast("string"))),
+        F.lit(n_shards),
+    )
+
+
+def shard_manifest(s: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Aggregate (shard, n_tokens, n_chars, fp) rows into the per-shard
+    manifest with the balance ratio. One map-side-combined groupBy on
+    the shard key; the grand total joins back as one broadcast row."""
+    per = s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("fp").alias("manifest_fp"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "manifest_fp",
+            (
+                (F.col("n_tokens") * n_shards).cast("double")
+                / F.col("tot_tokens").cast("double")
+            ).alias("load_ratio"),
+        )
+        .orderBy("shard")
+    )

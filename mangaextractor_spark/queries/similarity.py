@@ -101,6 +101,86 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(sims)
 
 
+_HARDNEG_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, emb, sqrt({_DOT.format(a="emb", b="emb")}) AS nrm FROM e
+),
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, emb AS q_emb, nrm AS q_nrm
+  FROM n WHERE vec_id < {N_QUERIES}
+),
+sims AS (
+  SELECT q.q_id, q.q_label, n.vec_id AS neg_id, n.label AS neg_label,
+         ROUND({_DOT.format(a="n.emb", b="q.q_emb")} / (n.nrm * q.q_nrm), 6) AS sim
+  FROM n CROSS JOIN q WHERE n.label <> q.q_label
+),
+ranked AS (
+  SELECT q_id, q_label, neg_id, neg_label, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neg_id) AS rank
+  FROM sims
+)
+SELECT q_id, q_label, neg_id, neg_label, sim, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY q_id, rank
+"""
+
+
+@register(
+    "hard_negatives",
+    _HARDNEG_SQL,
+    doc=f"Hard-negative mining for contrastive / metric training "
+    f"(the DPR-style pass — Karpukhin et al. 2020, arXiv:2004.04906): "
+    f"for each of the first {N_QUERIES} anchor vectors, the top-{TOP_K} "
+    "most-similar vectors whose LABEL DIFFERS from the anchor's — the "
+    "near-but-wrong candidates that make the strongest training "
+    "negatives. Same scale shape as embedding_topk (anchors broadcast, "
+    "corpus scanned once, Arrow pre-top-k bounds the rank window to "
+    "k*partitions rows per anchor); the label inequality is a map-side "
+    "filter on the joined row, so mining negatives costs exactly one "
+    "corpus scan regardless of label cardinality. At 100 TB the anchor "
+    "set is a training batch (thousands of rows — still broadcast "
+    "territory); sim rounded to 6dp before ranking so cross-engine "
+    "float ulps cannot flip the order.",
+    tags=("similarity", "training"),
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sims = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 6
+            ).alias("sim"),
+        )
+    )
+    pre = topk_per_group(sims, ["q_id"], ["sim", "neg_id"], [False, True], TOP_K)
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "neg_id")
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "q_label", "neg_id", "neg_label", "sim", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 L_TABLES = 8  # LSH tables
 K_BITS = 4  # sign bits per table -> 16 buckets/table; union of 8 tables
 

