@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "kmeans_assign",
     "kmeans_fit",
+    "cluster_balanced_sample",
     "semantic_dedup",
     "rrf_fusion",
     "incremental_dedup",

@@ -139,6 +139,7 @@ _WITNESS_FIRST: tuple[str, ...] = (
     "normalization_rollup",
     "hard_negatives",
     "shard_plan",
+    "cluster_balanced_sample",
 )
 
 

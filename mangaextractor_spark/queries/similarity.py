@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..session import load_table, spread
 from . import register
+from ._portable import phash60, phash60_sql
 from ._topk import topk_per_group
 
 N_QUERIES = 16
@@ -979,3 +980,73 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("qv", lambda v: F.abs(v) == QUANT_LEVELS)).cast("long").alias("n_sat"),
         F.floor(F.col("err") * F.lit(1000000000.0)).cast("long").alias("err_l1_e9"),
     ).orderBy("vec_id")
+
+
+# --- cluster-balanced sampling ---------------------------------------------
+
+CLUSTER_CAP = 16  # kept docs per semantic cluster
+_CBS_SALT = "cbs:"  # pick-priority salt, decorrelated from other buckets
+
+_CBS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt({_DOT.format(a='emb', b='emb')}) AS nrm FROM e),
+c AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < {K_CLUSTERS}),
+sims AS (
+  SELECT n.vec_id, c.cid,
+         ROUND({_DOT.format(a='n.emb', b='c.c_emb')} / (n.nrm * c.c_nrm), 6) AS sim
+  FROM n CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cid, sim FROM sims
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+),
+pri AS (
+  SELECT cid AS cluster_id, vec_id, sim,
+         {phash60_sql("'" + _CBS_SALT + "' || CAST(vec_id AS VARCHAR)")} AS pick
+  FROM assigned
+)
+SELECT cluster_id, vec_id, sim,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY pick, vec_id) AS pick_rank
+FROM pri QUALIFY pick_rank <= {CLUSTER_CAP}
+ORDER BY cluster_id, pick_rank
+"""
+
+
+@register(
+    "cluster_balanced_sample",
+    _CBS_SQL,
+    doc=f"Cluster-balanced data selection (the diversity-capped "
+    "sampling pass of semantic curation — cap every topic bucket so a "
+    "dominant cluster cannot monopolize the training mix; cf. the "
+    "cluster-then-sample stage of SemDeDup-style pipelines, Abbas et "
+    f"al. 2023, arXiv:2303.09540): assign each vector to its "
+    f"max-cosine cluster among the {K_CLUSTERS} kmeans_assign seeds "
+    f"(identical rule, shared helper), keep at most {CLUSTER_CAP} "
+    "members per cluster by salted-hash priority — a deterministic "
+    "uniform draw within the cluster, decorrelated from the "
+    "train/split/shard buckets. Scale shape: assignment is the same "
+    "zero-shuffle broadcast-centroid fold as kmeans_assign; the "
+    "per-cluster pick rides the Arrow pre-top-k (_topk.py) so the rank "
+    "window sees <= cap * n_partitions rows per cluster, never a "
+    "corpus-sized cluster on one task.",
+    tags=("similarity", "clustering", "pipeline", "training"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normed_embeddings(spark, sf_dir)
+    seeds = n.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    pri = _assign_to_centroids(n, seeds).select(
+        "cluster_id",
+        "vec_id",
+        "sim",
+        phash60(F.concat(F.lit(_CBS_SALT), F.col("vec_id").cast("string"))).alias("pick"),
+    )
+    pre = topk_per_group(pri, ["cluster_id"], ["pick", "vec_id"], [True, True], CLUSTER_CAP)
+    w = W.partitionBy("cluster_id").orderBy("pick", "vec_id")
+    return (
+        pre.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= CLUSTER_CAP)
+        .select("cluster_id", "vec_id", "sim", "pick_rank")
+        .orderBy("cluster_id", "pick_rank")
+    )

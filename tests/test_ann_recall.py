@@ -46,3 +46,23 @@ def test_hard_negatives_cross_label_only(spark, sf_small):
         grp = grp.sort_values("rank")
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
         assert (grp["sim"].diff().dropna() <= 1e-12).all()
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark, sf_small):
+    from mangaextractor_spark.queries.similarity import (
+        CLUSTER_CAP,
+        K_CLUSTERS,
+        cluster_balanced_sample,
+        kmeans_assign,
+    )
+
+    out = cluster_balanced_sample(spark, sf_small).toPandas()
+    per = out.groupby("cluster_id").size()
+    assert (per <= CLUSTER_CAP).all()
+    # a cluster with >= CAP members contributes exactly CAP picks
+    sizes = kmeans_assign(spark, sf_small).toPandas().set_index("cluster_id")["n_members"]
+    for cid, n_mem in sizes.items():
+        assert per.get(cid, 0) == min(n_mem, CLUSTER_CAP)
+    assert out["cluster_id"].between(0, K_CLUSTERS - 1).all()
+    # the pick is a uniform salted-hash draw: no vec_id appears twice
+    assert out["vec_id"].is_unique
