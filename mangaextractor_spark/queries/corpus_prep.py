@@ -773,13 +773,17 @@ def shard_col(doc_id: str = "doc_id", n_shards: int = N_SHARDS) -> F.Column:
 def shard_manifest(s: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     """Aggregate (shard, n_tokens, n_chars, fp) rows into the per-shard
     manifest with the balance ratio. One map-side-combined groupBy on
-    the shard key; the grand total joins back as one broadcast row."""
+    the shard key; the grand total joins back as one broadcast row.
+    ``per`` (n_shards rows) is persisted because the broadcast total is
+    derived FROM it — without the persist the build side re-executes
+    the whole scan+tokenize subtree (the _scale_notes round-2 lesson;
+    the plan test asserts one FileScan of the corpus)."""
     per = s.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         F.sum("n_chars").alias("n_chars"),
         F.sum("fp").alias("manifest_fp"),
-    )
+    ).persist()
     tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
     return (
         per.crossJoin(F.broadcast(tot))

@@ -286,3 +286,40 @@ def test_shard_plan_assignment_is_append_stable(spark, sf_small, tmp_path):
     joined = half.join(full, lsuffix="_half", rsuffix="_full")
     assert (joined["n_docs_half"] <= joined["n_docs_full"]).all()
     assert (joined["n_tokens_half"] <= joined["n_tokens_full"]).all()
+
+
+def test_new_topk_queries_ride_pre_topk(spark, sf_small):
+    """hard_negatives / cluster_balanced_sample rank windows must also
+    consume the per-partition pre-top-k, like every other top-k."""
+    from mangaextractor_spark.queries import REGISTRY
+
+    for name in ("hard_negatives", "cluster_balanced_sample"):
+        plan = (
+            REGISTRY[name]
+            .spark(spark, sf_small)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        i_win = plan.find("Window")
+        assert i_win != -1, name
+        assert "MapInPandas" in plan[i_win:], f"{name}: window not fed by pre-top-k:\n{plan}"
+
+
+def test_shard_plan_aggregates_map_side(spark, sf_small):
+    """shard_plan must be ONE partial-aggregated groupBy on the shard
+    key plus a broadcast single-row total derived from the PERSISTED
+    per-shard frame — no window, and the corpus is scanned/tokenized
+    once (both the manifest branch and the total branch must consume
+    the cache, not re-execute the FileScan subtree)."""
+    from mangaextractor_spark.queries.corpus_prep import shard_plan
+
+    plan = (
+        shard_plan(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("InMemoryTableScan") == 2, plan
