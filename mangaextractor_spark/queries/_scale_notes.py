@@ -83,3 +83,17 @@ SKETCH_BUCKET_CAP = 64
 # per-PARTITION top-k with the same fully-tie-broken total order, then
 # the exact window over <= k * n_partitions survivors. Results are
 # bit-identical; plan-asserted in tests (MapInPandas feeds the Window).
+
+# Broadcast boundedness rule (the round-4 dedup_embedding_cosine
+# lesson, generalized): F.broadcast is only legal on frames whose row
+# count is bounded by CONSTRUCTION (a query batch, a codebook, a probe
+# list, one register row) — never on data-scaled intermediates. Two
+# knobs keep "constant" sets constant as the corpus grows:
+# - IVF centroids (similarity.CENT_MOD, shared by pq.py): cells are
+#   vec_id % CENT_MOD == 0, so |cells| = n / CENT_MOD. Size CENT_MOD
+#   proportionally to the corpus so cells stay a fixed nlist (e.g.
+#   65k); the oracle mirrors whatever modulus is chosen. Left at the
+#   fixture default, the centroid broadcast would scale as n/31 — the
+#   knob, not the plan shape, is what makes it nlist-bounded.
+# - PQ codebook (pq.CB_MOD/CB_MAX): already capped by CB_MAX, bounded
+#   at any scale.

@@ -272,8 +272,9 @@ WHERE rank <= {TOP_K} ORDER BY q_id, rank
     f"just {RESCORE_C} rows/query. ADC sums are exact BIGINT e6 sums "
     "(order-free); the shortlist rank rides the Arrow pre-top-k so no "
     "corpus-sized window exists; candidate joins carry no broadcast "
-    "hints (AQE decides). Recall vs the exact baseline asserted in "
-    "tests/test_pq.py.",
+    "hints (AQE decides). The coarse-cell broadcast is nlist-bounded "
+    "only under the CENT_MOD sizing rule (queries/_scale_notes.py). "
+    "Recall vs the exact baseline asserted in tests/test_pq.py.",
     tags=("similarity", "approx"),
 )
 def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

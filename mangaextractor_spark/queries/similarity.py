@@ -316,7 +316,13 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(sims)
 
 
-CENT_MOD = 31  # centroid seeds: vec_id % 31 == 0 -> ~n/31 cells, scales with data
+# Centroid seeds: vec_id % CENT_MOD == 0 -> ~n/CENT_MOD cells. 31 fits
+# the sf fixtures; CENT_MOD is the IVF nlist SIZING KNOB, not a
+# constant: at production you grow it proportionally to the corpus so
+# the centroid set stays a fixed nlist (e.g. 65k cells) — the
+# broadcast below is nlist-bounded ONLY under that sizing, and the
+# oracle mirrors whatever modulus is chosen (queries/_scale_notes.py).
+CENT_MOD = 31
 NPROBE = 4  # query-side probed cells
 
 
@@ -373,7 +379,9 @@ WHERE rank <= {TOP_K} ORDER BY q_id, rank
     "cid); queries probe their NPROBE=4 nearest cells and rescore "
     "exactly within them (multi-probe is the standard recall lever — "
     "recall vs embedding_topk asserted in tests/test_ann_recall.py). "
-    "Spark plan: one scan, broadcast of the small centroid set, "
+    "Spark plan: one scan, broadcast of the nlist-bounded centroid set "
+    "(CENT_MOD is the sizing knob — grow it with the corpus so cells "
+    "stay a fixed nlist, or the broadcast scales as n/CENT_MOD), "
     "map-side-combined max_by for assignment (shuffle carries one row "
     "per vector), broadcast of the tiny probe list, equi-join on cell — "
     "no O(n^2) stage anywhere, so the layout survives a 100 TB corpus.",
