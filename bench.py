@@ -108,6 +108,9 @@ HEADLINE = [
     "length_quantiles",
     "merge_upsert_orders",
     "large_volume_customers",
+    "parts_supplier_counts",
+    "dominant_supplier_share",
+    "prospective_customers",
     "scd2_type_history",
     "langid_confusion",
     "token_counts",

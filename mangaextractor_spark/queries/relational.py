@@ -1280,3 +1280,201 @@ def scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# -- TPC-H Q16-shaped supplier-diversity counts -----------------------------
+
+_PARTS_SUPPLIER_SQL = """
+WITH blocked AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p.p_brand AS brand,
+       p.p_type AS ptype,
+       CAST(p.p_size AS BIGINT) AS size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.s_suppkey = l.l_suppkey)
+GROUP BY brand, ptype, size
+ORDER BY supplier_cnt DESC, brand, ptype, size
+LIMIT 100
+"""
+
+
+@register(
+    "parts_supplier_counts",
+    _PARTS_SUPPLIER_SQL,
+    doc="TPC-H Q16-shaped supplier diversity: per (brand, type, size), "
+    "how many DISTINCT suppliers shipped the part, excluding a blocked "
+    "supplier set (s_acctbal < 0 stands in for Q16's complaint filter; "
+    "reference analogue: db_util.py's NOT-IN key deletes :109-138). "
+    "Scale path: the blocked set is a dimension-bounded broadcast "
+    "LEFT ANTI join (never a per-row NOT IN probe); part joins lineitem "
+    "on the prunable p_partkey equi-key; COUNT(DISTINCT) is Spark's "
+    "two-phase Expand aggregate with map-side partials; the final "
+    "top-100 is TakeOrderedAndProject with a full (brand,type,size) "
+    "tie-break, never a global sort.",
+    tags=("join", "anti", "distinct-agg", "topk"),
+)
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    blocked = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(blocked), l.l_suppkey == blocked.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("ptype"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "ptype", "size")
+        .limit(100)
+    )
+
+
+# -- TPC-H Q20-shaped dominant-supplier share -------------------------------
+
+DOM_FACTOR = 8  # qualify above 1/8 of a part's total (fair share ~1/27 at sf0.01)
+
+_DOMINANT_SUPPLIER_SQL = f"""
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, SUM(sq) AS tq FROM sp GROUP BY l_partkey
+),
+dom AS (
+  SELECT sp.l_suppkey, sp.sq
+  FROM sp JOIN tot ON sp.l_partkey = tot.l_partkey
+  WHERE {DOM_FACTOR} * sp.sq > tot.tq
+)
+SELECT s.s_name AS name,
+       s.s_suppkey AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(dom.sq) AS DOUBLE) AS dominated_qty
+FROM dom JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+GROUP BY name, suppkey
+ORDER BY n_parts DESC, suppkey
+LIMIT 100
+"""
+
+
+@register(
+    "dominant_supplier_share",
+    _DOMINANT_SUPPLIER_SQL,
+    doc="TPC-H Q20-shaped correlated-HAVING decorrelation: suppliers "
+    f"holding an outsized share (> 1/{DOM_FACTOR}) of a part's total "
+    "shipped quantity, with how many parts they dominate (the average "
+    "part has ~27 suppliers at sf0.01, so fair share is ~1/27; 1/8 "
+    "flags the top tail — 322 qualifying pairs at sf0.01). The correlated "
+    "scalar subquery ('this pair's quantity vs its part's total') is "
+    "decorrelated into two stacked aggregates: per-(part,supplier) "
+    "sums, then per-part totals REUSING those partials (the second "
+    "groupBy re-aggregates n_pairs rows, not the lineitem scan), "
+    "joined back on the partkey equi-key. The majority test is exact "
+    "DECIMAL cross-multiplication (8*sq > tq) — no division, so no "
+    "float divergence; the single cast to DOUBLE happens at output. "
+    "Scale: one lineitem shuffle on (partkey,suppkey), a small "
+    "re-shuffle of the partials on partkey, AQE-splittable equi-joins, "
+    "broadcast supplier dim.",
+    tags=("join", "agg", "decorrelation"),
+)
+def dominant_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    # Persist the (part,supplier) partials: the totals branch re-groups
+    # THESE rows instead of re-scanning + re-aggregating lineitem
+    # (Spark's ReuseExchange does not match the two subtrees — verified
+    # 3 parquet scans without the persist, 2 with). Same pattern as the
+    # bm25 df cache; see queries/_scale_notes.py for persist scope.
+    sp = l.groupBy("l_partkey", "l_suppkey").agg(F.sum(q).alias("sq")).persist()
+    tot = sp.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dom = sp.join(tot, "l_partkey").filter(F.lit(DOM_FACTOR) * F.col("sq") > F.col("tq"))
+    return (
+        dom.join(F.broadcast(s), dom.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"), F.col("s_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("sq").cast("double").alias("dominated_qty"),
+        )
+        .orderBy(F.desc("n_parts"), "suppkey")
+        .limit(100)
+    )
+
+
+# -- TPC-H Q22-shaped prospective customers ---------------------------------
+
+DORMANT_CUTOFF = "2000-01-01"  # no order on/after this date => dormant
+
+_PROSPECTIVE_SQL = f"""
+WITH seg AS (
+  SELECT c_mktsegment,
+         SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer WHERE c_acctbal > 0
+  GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer c
+JOIN seg ON seg.c_mktsegment = c.c_mktsegment
+WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * seg.cnt > seg.sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '{DORMANT_CUTOFF}')
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register(
+    "prospective_customers",
+    _PROSPECTIVE_SQL,
+    doc="TPC-H Q22-shaped prospect report: customers whose balance "
+    "exceeds their market segment's average positive balance AND who "
+    f"are dormant (no order on/after {DORMANT_CUTOFF} — the analogue "
+    "of Q22's 7-year no-order clause; 55 qualify at sf0.01), rolled "
+    "up per segment. The scalar "
+    "'above average' subquery is exact: avg = sum/cnt is never "
+    "computed — the predicate cross-multiplies (bal*cnt > sum) in "
+    "DECIMAL, so Spark and DuckDB agree bit-for-bit with one DOUBLE "
+    "cast at output. Scale: the segment aggregate is "
+    "cardinality-bounded (broadcast, static hint is safe); the "
+    "dormancy test is a LEFT ANTI join on the custkey equi-key with "
+    "the date filter PUSHED TO THE ORDERS SCAN (a PushedFilters row) "
+    "(shuffle both sides, AQE-splittable) — never an EXISTS probe per "
+    "row.",
+    tags=("anti", "agg", "scalar-subquery"),
+)
+def prospective_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    seg = (
+        c.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(bal).alias("sum_bal"), F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("c_mktsegment", "seg_key")
+    )
+    return (
+        c.join(
+            o.filter(F.col("o_orderdate") >= DORMANT_CUTOFF).select("o_custkey"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(seg), F.col("c_mktsegment") == F.col("seg_key"))
+        .filter(bal * F.col("cnt") > F.col("sum_bal"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(bal).cast("double").alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
