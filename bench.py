@@ -111,6 +111,7 @@ HEADLINE = [
     "parts_supplier_counts",
     "dominant_supplier_share",
     "prospective_customers",
+    "priority_sample",
     "scd2_type_history",
     "langid_confusion",
     "token_counts",

@@ -434,3 +434,73 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "cap_rank")
         .orderBy("source", "cap_rank")
     )
+
+
+# --- weighted sampling without replacement (priority sampling) -------------
+
+PRIO_SALT = "prio:"  # decorrelates u from the stratified/split buckets
+PRIO_K = 200
+_U_MOD = 1 << 30  # u in [2^30, 2^31): 30 random bits, never zero
+_PRIO_SCALE = 1 << 32  # w * 2^32 // u stays far inside BIGINT
+
+_PRIO_SQL = f"""
+WITH p AS (
+  SELECT doc_id, lang, n_chars,
+         ({phash60_sql("'" + PRIO_SALT + "' || CAST(doc_id AS VARCHAR)")}
+          % {_U_MOD}) + {_U_MOD} AS u
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+       CAST((n_chars * {_PRIO_SCALE}) // u AS BIGINT) AS priority
+FROM p
+ORDER BY priority DESC, doc_id
+LIMIT {PRIO_K}
+"""
+
+
+@register(
+    "priority_sample",
+    _PRIO_SQL,
+    doc=f"Weighted sampling WITHOUT replacement via priority sampling "
+    "(Duffield, Lund, Thorup, JACM 2007): each doc gets priority w/u "
+    "with u uniform and w = n_chars, and the top-k priorities are the "
+    "sample — inclusion probability is ~proportional to size, the "
+    "standard 'sample tokens, not documents' mixing step. Completes "
+    "the sampling family (stratified keep-rates, temperature weights, "
+    "cluster-balanced): those reweight or stratify; this draws a "
+    "bounded-k weighted sample in ONE pass. Determinism: u is the "
+    "salted portable 60-bit hash folded into [2^30, 2^31), and the "
+    f"priority is exact integer floor((w * 2^32) / u) — identical "
+    "BIGINT in Spark (div) and DuckDB (//), no float anywhere, ties "
+    "broken by doc_id. Scale: a pure map-side expression per row "
+    "(recomputable in isolation, stable under corpus growth for "
+    "unseen rows) feeding TakeOrderedAndProject — per-partition top-k "
+    "then a k-row driver merge, never a global sort; w*2^32 bounds: "
+    "a 2^25-char doc stays 2^57 < 2^63.",
+    tags=("text", "pipeline", "sampling", "topk"),
+)
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(
+            phash60(F.concat(F.lit(PRIO_SALT), F.col("doc_id").cast("string"))),
+            F.lit(_U_MOD),
+        )
+        + F.lit(_U_MOD)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            u.alias("u"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "weight",
+            F.expr(f"(weight * {_PRIO_SCALE}L) div u").alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(PRIO_K)
+    )

@@ -74,3 +74,22 @@ def test_prospective_customers_matches_pandas(spark):
     for seg, (n, total) in want.items():
         assert got[seg][0] == n
         assert abs(got[seg][1] - total) < 1e-9
+
+
+def test_priority_sample_is_size_biased_topk(spark):
+    """Priority sampling: inclusion ∝ weight, plan is TakeOrdered."""
+    import pandas as pd
+
+    df = REGISTRY["priority_sample"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    got = df.toPandas()
+    assert len(got) == 200
+    corpus = pd.read_parquet(f"{SF}/documents.parquet")
+    # Size-biased draw: the sampled mean weight must exceed the corpus
+    # mean (by ~E[w^2]/E[w] vs E[w]); a uniform draw of 200/500 docs
+    # would match the corpus mean in expectation.
+    assert got.weight.mean() > corpus.n_chars.mean()
+    # Deterministic: re-running yields the identical member set.
+    again = REGISTRY["priority_sample"].spark(spark, SF).toPandas()
+    assert set(got.doc_id) == set(again.doc_id)
