@@ -55,6 +55,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "minhash_join",
     "near_dup_bloom_gate",
+    "jaccard_prefix_join",
     "image_dhash_pairs",
     "cross_snapshot_containment",
     "simhash",

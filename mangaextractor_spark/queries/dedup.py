@@ -1370,3 +1370,123 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("node")
     )
+
+
+# --- exact Jaccard threshold join via prefix filtering (PPJoin-lite) -------
+
+PREFIX_JOIN_T_NUM, PREFIX_JOIN_T_DEN = 1, 2  # threshold t = 1/2, exact rational
+
+_PREFIX_JOIN_SQL = f"""
+WITH w AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+s AS (
+  SELECT doc_id, list_distinct({_SHINGLE_LIST_SQL}) AS toks
+  FROM w WHERE len(ws) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(a.toks) AS BIGINT) AS na,
+         CAST(len(b.toks) AS BIGINT) AS nb,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, n_common,
+       ROUND(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+FROM pairs
+WHERE 3 * n_common >= na + nb
+ORDER BY a_id, b_id
+"""
+
+
+@register(
+    "jaccard_prefix_join",
+    _PREFIX_JOIN_SQL,
+    doc="EXACT Jaccard-threshold similarity self-join (J >= 1/2 on "
+    "distinct word-3-gram shingle sets) via prefix filtering "
+    "(Chaudhuri ICDE'06 / Xiao et al. WWW'08 PPJoin family). Unlike "
+    "ngram_jaccard_pairs (posting lists with a stop-shingle recall "
+    "cap) and the MinHash ladder (probabilistic), the prefix filter is "
+    "a LOSSLESS pruning: under any global token order, two sets with "
+    "J >= t MUST share a token in their first n - ceil(t*n) + 1 "
+    "tokens, so recall is 1.0 by construction and the oracle is plain "
+    "brute-force all-pairs — equality of outputs proves the filter. "
+    "Order = (global shingle df asc, shingle asc): rarest-first "
+    "minimizes candidate fan-out. The threshold test is exact integer "
+    "cross-multiplication (3c >= na+nb <=> J >= 1/2); jaccard is one "
+    "double division rounded 6dp at output. Scale: df via one "
+    "map-side-combined groupBy on the persisted shingle rows (the "
+    "bm25 pattern — never broadcast, the shingle vocabulary is "
+    "corpus-sized); per-doc prefix = array_sort + slice, map-side; "
+    "candidates = a prefix-token equi-join AQE can skew-split (a hot "
+    "prefix token means a genuinely frequent rare-est token — the "
+    "filter already minimizes this by construction); verification "
+    "joins the two sorted shingle arrays back by id and intersects "
+    "per pair — each pair costs only its own rows.",
+    tags=("dedup", "text", "similarity-join"),
+)
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_num, t_den = PREFIX_JOIN_T_NUM, PREFIX_JOIN_T_DEN
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = (
+        d.filter(F.size(words_col(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(shingles3(words_col(F.col("text")))).alias("toks"),
+        )
+        .withColumn("n", F.size("toks").cast("long"))
+        .persist()  # scanned by df, by the prefix build, and twice by verify
+    )
+    tok_rows = base.select("doc_id", "n", F.explode("toks").alias("tok"))
+    dfreq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Per-doc global order (df asc, tok asc); prefix length
+    # p = n - ceil(t*n) + 1, with ceil(t*n) = (t_num*n + t_den - 1) div
+    # t_den — exact integer arithmetic on positives (Spark's div
+    # truncates toward zero, which equals floor only for positives).
+    ordered = (
+        tok_rows.join(dfreq, "tok")
+        .groupBy("doc_id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("od"))
+        .select(
+            "doc_id",
+            "n",
+            F.expr(
+                f"slice(transform(od, x -> x.tok), 1, "
+                f"cast(n - (({t_num}L * n + {t_den - 1}L) div {t_den}L) + 1 as int))"
+            ).alias("prefix"),
+        )
+    )
+    pre = ordered.select(
+        F.col("doc_id"), F.col("n"), F.explode("prefix").alias("tok")
+    )
+    a = pre.select(
+        F.col("doc_id").alias("a_id"), F.col("n").alias("na"), "tok"
+    )
+    b = pre.select(
+        F.col("doc_id").alias("b_id"), F.col("n").alias("nb"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        # lossless size filter: t*na <= nb and t*nb <= na (cross-mult)
+        .filter(
+            (F.lit(t_num) * F.col("na") <= F.lit(t_den) * F.col("nb"))
+            & (F.lit(t_num) * F.col("nb") <= F.lit(t_den) * F.col("na"))
+        )
+        .select("a_id", "b_id", "na", "nb")
+        .distinct()
+    )
+    av = base.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    bv = base.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    verified = (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("a_toks", "b_toks")).cast("long")
+        )
+        .filter(F.lit(3) * F.col("n_common") >= F.col("na") + F.col("nb"))
+    )
+    jac = F.col("n_common") * F.lit(1.0) / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return verified.select(
+        "a_id", "b_id", "n_common", F.round(jac, 6).alias("jaccard")
+    ).orderBy("a_id", "b_id")
