@@ -97,3 +97,24 @@ SKETCH_BUCKET_CAP = 64
 #   knob, not the plan shape, is what makes it nlist-bounded.
 # - PQ codebook (pq.CB_MOD/CB_MAX): already capped by CB_MAX, bounded
 #   at any scale.
+
+# Candidate generation has THREE tiers, by what they guarantee
+# (round-5 closing; pick per use case, all three live in the repo):
+# 1. CAPPED generators (ngram_jaccard_pairs POSTING_CAP, the LSH band
+#    SKETCH_BUCKET_CAP): bounded cost at any scale, recall is lost
+#    exactly at the documented caps and the oracle mirrors them.
+# 2. PROBABILISTIC generators (MinHash/SimHash banding): bounded cost,
+#    recall is a tunable probability (band/row trade), calibration
+#    measured by minhash_jaccard_accuracy.
+# 3. LOSSLESS pruning (jaccard_prefix_join's prefix filter): recall
+#    1.0 by THEOREM — two sets with J >= t must share a token in their
+#    first n - ceil(t*n) + 1 tokens under any common global order, so
+#    the brute-force oracle's equal output proves the filter. Cost is
+#    data-dependent (hot prefix tokens fan out; rarest-first ordering
+#    minimizes it, AQE skew-split handles the residue), which is the
+#    price of exactness: use tier 3 when missing a pair is not
+#    acceptable, tiers 1-2 when the dedup budget is fixed.
+# Integer-exactness corollary used throughout: a ratio threshold never
+# needs floats — J >= 1/2 is 3c >= na+nb, "above segment average" is
+# bal*cnt > sum, a majority share is k*part > total. Cross-multiplied
+# integer predicates are bit-stable across engines by construction.
