@@ -112,6 +112,15 @@ HEADLINE = [
     "parts_supplier_counts",
     "dominant_supplier_share",
     "prospective_customers",
+    "min_cost_part_supplier",
+    "order_priority_late_check",
+    "important_parts_value",
+    "customer_order_distribution",
+    "top_revenue_supplier",
+    "small_quantity_revenue",
+    "sole_late_suppliers",
+    "exact_substring_spans",
+    "token_pmi_pairs",
     "priority_sample",
     "scd2_type_history",
     "langid_confusion",

@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..session import load_table, spread
@@ -1490,3 +1491,99 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "a_id", "b_id", "n_common", F.round(jac, 6).alias("jaccard")
     ).orderBy("a_id", "b_id")
+
+
+# -- maximal cross-document verbatim spans -----------------------------------
+
+_SUBSTRING_SPANS_SQL = f"""
+WITH w AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS s,
+         {phash60_sql("array_to_string(ws[i : i + " + str(NGRAM_K - 1) + "], ' ')")} AS h
+  FROM w, UNNEST(generate_series(1, len(ws) - {NGRAM_K - 1})) AS t(i)
+  WHERE len(ws) >= {NGRAM_K}
+),
+gd AS (SELECT h, doc_id FROM g GROUP BY 1, 2),
+rep AS (SELECT h FROM gd GROUP BY 1 HAVING COUNT(*) >= {REPEATED_MIN_DF}),
+st AS (
+  SELECT g.doc_id, g.s,
+         LAG(g.s) OVER (PARTITION BY g.doc_id ORDER BY g.s) AS prev
+  FROM g JOIN rep USING (h)
+),
+isl AS (
+  SELECT doc_id, s,
+         SUM(CASE WHEN s - prev > {NGRAM_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM st
+)
+SELECT doc_id,
+       CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(s) + {NGRAM_K} AS BIGINT) AS span_end,
+       CAST(MAX(s) + {NGRAM_K} - MIN(s) AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+@register(
+    "exact_substring_spans",
+    _SUBSTRING_SPANS_SQL,
+    doc=f"Maximal cross-document verbatim spans (the ExactSubstr "
+    "operator of Lee et al. 2021, arXiv:2107.06499, at token "
+    f"{NGRAM_K}-gram granularity instead of a suffix array): for each "
+    "document, the maximal token ranges covered by "
+    f"{NGRAM_K}-grams that also occur in another document — the spans "
+    "a substring-dedup pass would cut, where repeated_ngram_stats "
+    "only counts and repeated_ngram_scrub rebuilds text. Adjacent/"
+    "overlapping duplicated grams coalesce gaps-and-islands style: a "
+    f"new span starts when the next duplicated start exceeds the "
+    f"previous by more than {NGRAM_K} (equal-length intervals make "
+    "max-coverage monotone, so the lag test is exact interval union). "
+    "Scale: gram document-frequency is the same persisted "
+    "groupBy + equi-join-back as repeated_ngram_stats (never a window "
+    "over h — a viral gram would pin one task); the ONLY windows "
+    "partition by doc_id, bounded by a single document's length — the "
+    "one window class _scale_notes.py permits. Cross-engine exact: "
+    "integer positions, portable 60-bit gram hashes, no floats at all.",
+    tags=("dedup", "text"),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ws = words_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - NGRAM_K),
+        lambda i: phash60(F.concat_ws(" ", F.slice("ws", i + 1, NGRAM_K))),
+    )
+    g = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= NGRAM_K)
+        .select("doc_id", F.posexplode(grams).alias("s", "h"))
+        .persist()
+    )
+    rep = (
+        g.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= REPEATED_MIN_DF)
+        .select("h")
+    )
+    st = g.join(rep, "h").select("doc_id", "s")
+    wd = W.partitionBy("doc_id").orderBy("s")
+    brk = F.when(F.col("s") - F.lag("s").over(wd) > NGRAM_K, 1).otherwise(0)
+    isl = st.withColumn(
+        "island",
+        F.sum(brk).over(wd.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            (F.max("s") + NGRAM_K).cast("long").alias("span_end"),
+            (F.max("s") + NGRAM_K - F.min("s")).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "span_start")
+    )

@@ -1478,3 +1478,442 @@ def prospective_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# -- TPC-H Q2-shaped groupwise-min supplier ----------------------------------
+
+_MIN_COST_SQL = """
+WITH offers AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS best
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY 1, 2
+),
+part_min AS (
+  SELECT l_partkey, MIN(best) AS part_best FROM offers GROUP BY 1
+)
+SELECT p.p_partkey AS partkey, p.p_name AS part_name,
+       s.s_suppkey AS suppkey, s.s_name AS supplier_name,
+       CAST(o.best AS DOUBLE) AS best_price
+FROM offers o
+JOIN part_min m ON o.l_partkey = m.l_partkey AND o.best = m.part_best
+JOIN part p ON p.p_partkey = o.l_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+WHERE p.p_type = 'PROMO'
+ORDER BY best_price DESC, partkey, suppkey
+LIMIT 100
+"""
+
+
+@register(
+    "min_cost_part_supplier",
+    _MIN_COST_SQL,
+    doc="TPC-H Q2-shaped groupwise-min decorrelation: for every PROMO "
+    "part, the ASIA supplier(s) whose cheapest shipped price equals the "
+    "part's regional minimum. Q2's correlated scalar subquery "
+    "('= MIN(ps_supplycost) for this part') is decorrelated into a "
+    "per-(part,supplier) aggregate, a per-part re-aggregate REUSING "
+    "those partials (persisted so the scan runs once), and an "
+    "equality join-back on (partkey, price) — exact because price "
+    "stays DECIMAL until the output cast. Scale: region/nation/"
+    "supplier dims broadcast into the lineitem scan (one shuffle on "
+    "(partkey,suppkey)); the min re-shuffle moves only the partials; "
+    "join-back is an AQE-splittable equi-join; top-100 is "
+    "TakeOrderedAndProject with full tie-break.",
+    tags=("join", "agg", "decorrelation", "topk"),
+)
+def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    asia_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    offers = (
+        l.join(F.broadcast(asia_supp), l.l_suppkey == asia_supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("best"))
+        .persist()
+    )
+    part_min = offers.groupBy("l_partkey").agg(F.min("best").alias("part_best"))
+    return (
+        offers.join(
+            part_min,
+            (offers.l_partkey == part_min.l_partkey) & (offers.best == part_min.part_best),
+        )
+        .drop(part_min.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("best").cast("double").alias("best_price"),
+        )
+        .orderBy(F.desc("best_price"), "partkey", "suppkey")
+        .limit(100)
+    )
+
+
+# -- TPC-H Q4-shaped order priority / EXISTS ---------------------------------
+
+_PRIORITY_LATE_SQL = """
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register(
+    "order_priority_late_check",
+    _PRIORITY_LATE_SQL,
+    doc="TPC-H Q4-shaped EXISTS decorrelation: orders placed in 1996 "
+    "with at least one line item shipped more than 30 days after the "
+    "order date (the stand-in for Q4's commitdate<receiptdate — this "
+    "schema carries no commit/receipt dates), counted per priority. "
+    "The correlated EXISTS is a LEFT SEMI join on the l_orderkey "
+    "equi-key with the residual date comparison evaluated inside the "
+    "join — one pass over each side, no per-row subquery. Scale: the "
+    "1996 filter pushes to the orders parquet scan (partition-prunable "
+    "on a date-partitioned layout); the semi join shuffles both sides "
+    "once and AQE can skew-split it; output is a 5-row aggregate.",
+    tags=("semi", "agg", "decorrelation"),
+)
+def order_priority_late_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("priority")
+    )
+
+
+# -- TPC-H Q11-shaped important-stock scan -----------------------------------
+
+IMPORTANT_DEN = 2000  # keep parts holding > 1/2000 of the nation's value
+
+_IMPORTANT_PARTS_SQL = f"""
+WITH v AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+),
+tot AS (SELECT SUM(val) AS total FROM v)
+SELECT v.l_partkey AS partkey, CAST(v.val AS DOUBLE) AS part_value
+FROM v, tot
+WHERE v.val * {IMPORTANT_DEN} > tot.total
+ORDER BY part_value DESC, partkey
+"""
+
+
+@register(
+    "important_parts_value",
+    _IMPORTANT_PARTS_SQL,
+    doc="TPC-H Q11-shaped global-fraction HAVING: parts whose shipped "
+    f"value from NATION_7 suppliers exceeds 1/{IMPORTANT_DEN} of that "
+    "nation's total shipped value. Q11's scalar subquery over the "
+    "whole fact table is decorrelated into a per-part aggregate, a "
+    "1-row re-aggregate of THOSE partials (persisted — the lineitem "
+    "scan runs once), and a broadcast of the single total row; the "
+    "fraction test is exact DECIMAL cross-multiplication "
+    f"(val*{IMPORTANT_DEN} > total) — no division anywhere, one "
+    "DOUBLE cast at output. Scale: nation/supplier dims broadcast "
+    "into the fact scan; the only data shuffle is the partkey "
+    "aggregate; the scalar side is one row regardless of corpus size.",
+    tags=("agg", "decorrelation", "scalar-subquery"),
+)
+def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    v = (
+        l.join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(e * (1 - d)).alias("val"))
+        .persist()
+    )
+    tot = v.agg(F.sum("val").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * IMPORTANT_DEN > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+# -- TPC-H Q13-shaped customer order-count distribution ----------------------
+
+_ORDER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "customer_order_distribution",
+    _ORDER_DISTRIBUTION_SQL,
+    doc="TPC-H Q13 customer-distribution: histogram of customers by "
+    "how many non-urgent orders they placed, INCLUDING the zero-order "
+    "customers (the left outer join Q13 exists to test — an inner "
+    "join silently drops them; o_orderpriority <> '1-URGENT' stands "
+    "in for Q13's comment anti-pattern). COUNT(o_orderkey) counts "
+    "only matched rows, so unmatched customers land in bucket 0 in "
+    "both engines. Scale: the join ships the orders rows once on the "
+    "custkey equi-key (AQE skew-splittable — the histogram shape is "
+    "exactly what a 100 TB skew audit reads); the second aggregate "
+    "re-shuffles one row per customer, and the final histogram is at "
+    "most max-orders-per-customer rows.",
+    tags=("join", "outer", "agg", "histogram"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# -- TPC-H Q15-shaped top supplier (groupwise global max) --------------------
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+),
+mx AS (SELECT MAX(total_rev) AS m FROM rev)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name,
+       CAST(rev.total_rev AS DOUBLE) AS total_revenue
+FROM rev
+CROSS JOIN mx
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_rev = mx.m
+ORDER BY suppkey
+"""
+
+
+@register(
+    "top_revenue_supplier",
+    _TOP_SUPPLIER_SQL,
+    doc="TPC-H Q15 top-supplier: the supplier(s) whose Q1-1996 revenue "
+    "equals the global maximum — Q15's CREATE VIEW + scalar MAX "
+    "subquery, decorrelated into a per-supplier aggregate (persisted, "
+    "one lineitem scan), a 1-row MAX over those partials, and an "
+    "exact DECIMAL equality join-back (ties all surface, as Q15 "
+    "specifies; floats would make 'equals the max' flaky — DECIMAL "
+    "makes it bit-stable in both engines). Scale: date filter pushes "
+    "to the scan; one shuffle on suppkey; the max is one broadcast "
+    "row; supplier dim broadcasts.",
+    tags=("agg", "decorrelation", "scalar-subquery"),
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    rev = l.groupBy("l_suppkey").agg(F.sum(e * (1 - d)).alias("total_rev")).persist()
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# -- TPC-H Q17-shaped small-quantity revenue ---------------------------------
+
+SMALL_QTY_NUM = 1  # keep lines with qty < (1/2) * part avg qty
+SMALL_QTY_DEN = 2
+
+_SMALL_QTY_SQL = f"""
+WITH pa AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem l
+JOIN pa ON pa.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS DECIMAL(12,2)) * {SMALL_QTY_DEN} * pa.cnt
+      < {SMALL_QTY_NUM} * pa.sq
+"""
+
+
+@register(
+    "small_quantity_revenue",
+    _SMALL_QTY_SQL,
+    doc="TPC-H Q17 small-quantity-order revenue: total price of "
+    "Brand#1 line items whose quantity is below half the part's "
+    "average quantity, scaled to a yearly figure. The correlated "
+    "'0.2 * AVG(l_quantity) for this part' subquery is decorrelated "
+    "into per-part (sum, count) partials joined back on the partkey "
+    "equi-key; the threshold test cross-multiplies "
+    f"(qty*{SMALL_QTY_DEN}*cnt < {SMALL_QTY_NUM}*sum) in exact "
+    "DECIMAL — the avg is never divided out, so both engines agree "
+    "bit-for-bit. The output performs exactly two float ops (one "
+    "cast, one division by 7.0) on an exact DECIMAL sum. Scale: one "
+    "lineitem shuffle on partkey for the partials; the probe side "
+    "joins on the same key (co-partitioned, AQE-splittable); part "
+    "dim broadcasts; output is one row.",
+    tags=("join", "agg", "decorrelation"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    pa = l.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.sum(q).alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, F.col("l_partkey") == F.col("pa_key"))
+        .filter(q * SMALL_QTY_DEN * F.col("cnt") < SMALL_QTY_NUM * F.col("sq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+# -- TPC-H Q21-shaped sole-late-supplier report ------------------------------
+
+_SOLE_LATE_SQL = """
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+sole AS (
+  SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+  FROM late GROUP BY 1 HAVING COUNT(*) = 1
+)
+SELECT s.s_name AS supplier_name, s.s_suppkey AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM sole
+JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, suppkey
+LIMIT 100
+"""
+
+
+@register(
+    "sole_late_suppliers",
+    _SOLE_LATE_SQL,
+    doc="TPC-H Q21-shaped suppliers-who-kept-orders-waiting: per "
+    "supplier, finished ('F') orders on which THEY shipped >60 days "
+    "late and no other supplier did (l_shipdate vs o_orderdate stands "
+    "in for Q21's receipt/commit dates, absent from this schema). "
+    "Q21's EXISTS + NOT EXISTS pair over the same fact table is "
+    "decorrelated into ONE aggregation: distinct late (order, "
+    "supplier) pairs, then per-order HAVING COUNT(*)=1 — the sole "
+    "offender is MIN(suppkey) of a 1-row group, so no second "
+    "correlated probe ever runs. Scale: orders joins lineitem on the "
+    "orderkey equi-key (both sides shuffle once, AQE-splittable); "
+    "the distinct and the per-order aggregate reuse that orderkey "
+    "partitioning (no extra exchange); supplier dim broadcasts; "
+    "top-100 is TakeOrderedAndProject.",
+    tags=("join", "agg", "decorrelation", "topk"),
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("sole_supp"), F.count(F.lit(1)).alias("n_late"))
+        .filter(F.col("n_late") == 1)
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("sole_supp") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier_name"), F.col("s_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "suppkey")
+        .limit(100)
+    )

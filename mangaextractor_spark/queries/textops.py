@@ -873,3 +873,106 @@ def trimmed_mean_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- PMI association pairs ----------------------------------------------------
+
+PMI_MIN_COUNT = 20  # min bigram occurrences before a pair is scored
+
+_PMI_SQL = f"""
+WITH w AS (SELECT {_WS} AS ws FROM documents),
+allt AS (SELECT ws[i] AS tok FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM allt GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM allt),
+bi AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS pair, CAST(COUNT(*) AS BIGINT) AS cxy
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+  GROUP BY 1
+),
+m AS (SELECT SUM(cxy) AS m_bi FROM bi),
+scored AS (
+  SELECT SPLIT_PART(pair, ' ', 1) AS w1, SPLIT_PART(pair, ' ', 2) AS w2, cxy
+  FROM bi WHERE cxy >= {PMI_MIN_COUNT}
+)
+SELECT s.w1, s.w2, s.cxy,
+       u1.c AS cx, u2.c AS cy, n.n_tok, CAST(m.m_bi AS BIGINT) AS m_bi,
+       CAST(s.cxy * n.n_tok * n.n_tok AS DOUBLE)
+         / CAST(m.m_bi * u1.c * u2.c AS DOUBLE) AS lift
+FROM scored s
+JOIN uni u1 ON u1.tok = s.w1
+JOIN uni u2 ON u2.tok = s.w2
+CROSS JOIN n CROSS JOIN m
+ORDER BY lift DESC, w1, w2
+LIMIT 50
+"""
+
+
+@register(
+    "token_pmi_pairs",
+    _PMI_SQL,
+    doc="Pointwise-mutual-information collocations (the association "
+    "statistic behind phrase mining and tokenizer-merge scoring): "
+    f"adjacent token pairs seen >= {PMI_MIN_COUNT} times, ranked by "
+    "lift = P(xy)/(P(x)P(y)) = (cxy*N*N)/(M*cx*cy). PMI = ln(lift) is "
+    "monotone in lift, so ranking by lift gives the PMI order WITHOUT "
+    "an engine-variant transcendental: the numerator and denominator "
+    "are exact BIGINT products and the score is ONE double division "
+    "of exact operands (bit-stable cross-engine; the exact integers "
+    "ship in the output so a consumer can re-derive ln at any "
+    "precision). At 100 TB the BIGINT products need DECIMAL(38,0) "
+    "headroom — the integer-threshold corollary in _scale_notes.py. "
+    "Scale: bigrams and unigrams are map-side array transforms + two "
+    "map-side-combined groupBys (vocab-bounded results); the two "
+    "count lookups are equi-joins on the token key; N and M are "
+    "1-row broadcasts; top-50 is TakeOrderedAndProject.",
+    tags=("text", "agg", "topk"),
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ws = words_col(F.col("text"))
+    w = d.select(ws.alias("ws")).persist()
+    uni = w.select(F.explode("ws").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = uni.agg(F.sum("c").alias("n_tok"))
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 2)),
+    )
+    bi = (
+        w.filter(F.size("ws") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .persist()
+    )
+    m = bi.agg(F.sum("cxy").alias("m_bi"))
+    scored = bi.filter(F.col("cxy") >= PMI_MIN_COUNT).select(
+        F.substring_index("pair", " ", 1).alias("w1"),
+        F.substring_index("pair", " ", -1).alias("w2"),
+        "cxy",
+    )
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("c").alias("cx"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("c").alias("cy"))
+    return (
+        scored.join(u1, scored.w1 == u1.t1)
+        .join(u2, scored.w2 == u2.t2)
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "w1",
+            "w2",
+            "cxy",
+            "cx",
+            "cy",
+            "n_tok",
+            "m_bi",
+            (
+                (F.col("cxy") * F.col("n_tok") * F.col("n_tok")).cast("double")
+                / (F.col("m_bi") * F.col("cx") * F.col("cy")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(50)
+    )

@@ -1,0 +1,163 @@
+"""Plan + semantics gates for the round-5 closing wave: the remaining
+TPC-H decorrelation shapes (Q2/Q4/Q11/Q13/Q15/Q17/Q21 analogues) and
+the two new pipeline operators (exact_substring_spans,
+token_pmi_pairs).
+
+Oracle parity runs in test_queries_oracle.py (registry-driven); these
+tests pin the SCALE claims each docstring makes to the physical plan,
+plus independent pandas recomputes of the trickier semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from mangaextractor_spark.queries import REGISTRY
+from mangaextractor_spark.queries.dedup import NGRAM_K
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_min_cost_supplier_reuses_offer_partials(spark):
+    df = REGISTRY["min_cost_part_supplier"].spark(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    # Both the per-part MIN branch and the equality join-back read the
+    # persisted offers — one lineitem scan total.
+    assert plan.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
+
+
+def test_min_cost_supplier_is_groupwise_min(spark):
+    rows = REGISTRY["min_cost_part_supplier"].spark(spark, SF).collect()
+    assert rows
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    r_ = pd.read_parquet(f"{SF}/region.parquet")
+    asia_nk = set(n[n.n_regionkey.isin(r_[r_.r_name == "ASIA"].r_regionkey)].n_nationkey)
+    asia_sk = set(s[s.s_nationkey.isin(asia_nk)].s_suppkey)
+    l = l[l.l_suppkey.isin(asia_sk)]
+    cents = (l.l_extendedprice * 100).round().astype("int64")
+    best = cents.groupby(l.l_partkey).min()
+    for r in rows:
+        assert round(r.best_price * 100) == best[r.partkey]
+
+
+def test_order_priority_late_check_is_semi_join(spark):
+    plan = _plan(REGISTRY["order_priority_late_check"].spark(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_important_parts_single_scan_and_exact_threshold(spark):
+    df = REGISTRY["important_parts_value"].spark(spark, SF)
+    rows = df.collect()
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
+    # Every returned part holds > 1/2000 of the nation's total value —
+    # re-derived from the returned rows is circular, so recheck one
+    # invariant instead: values strictly positive and sorted desc.
+    vals = [r.part_value for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v > 0 for v in vals)
+
+
+def test_top_revenue_supplier_is_global_max(spark):
+    rows = REGISTRY["top_revenue_supplier"].spark(spark, SF).collect()
+    assert len(rows) >= 1
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    q = l[
+        (l.l_shipdate >= pd.Timestamp("1996-01-01"))
+        & (l.l_shipdate < pd.Timestamp("1996-04-01"))
+    ]
+    # exact fixed-point: cents * (100 - discount_pct) units
+    units = (q.l_extendedprice * 100).round().astype("int64") * (
+        100 - (q.l_discount * 100).round().astype("int64")
+    )
+    per = units.groupby(q.l_suppkey).sum()
+    assert {r.suppkey for r in rows} == set(per[per == per.max()].index)
+
+
+def test_customer_order_distribution_keeps_zero_bucket(spark):
+    rows = {r.c_count: r.custdist for r in REGISTRY["customer_order_distribution"].spark(spark, SF).collect()}
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o = o[o.o_orderpriority != "1-URGENT"]
+    n_zero = (~c.c_custkey.isin(set(o.o_custkey))).sum()
+    assert rows.get(0, 0) == n_zero  # the left-join raison d'être
+    assert sum(rows.values()) == len(c)  # every customer lands in a bucket
+
+
+def test_small_quantity_revenue_cross_multiplied(spark):
+    row = REGISTRY["small_quantity_revenue"].spark(spark, SF).collect()[0]
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    p = pd.read_parquet(f"{SF}/part.parquet")
+    qty = (l.l_quantity * 100).round().astype("int64")  # 2dp fixed-point
+    sq = qty.groupby(l.l_partkey).sum()
+    cnt = l.groupby("l_partkey").size()
+    brand = set(p[p.p_brand == "Brand#1"].p_partkey)
+    mask = l.l_partkey.isin(brand) & (
+        qty * 2 * l.l_partkey.map(cnt) < l.l_partkey.map(sq)
+    )
+    assert row.n_lines == int(mask.sum())
+
+
+def test_sole_late_suppliers_counts_sole_orders(spark):
+    rows = REGISTRY["sole_late_suppliers"].spark(spark, SF).collect()
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o = o[o.o_orderstatus == "F"]
+    m = l.merge(o[["o_orderkey", "o_orderdate"]], left_on="l_orderkey", right_on="o_orderkey")
+    late = m[m.l_shipdate > m.o_orderdate + pd.Timedelta(days=60)][
+        ["l_orderkey", "l_suppkey"]
+    ].drop_duplicates()
+    per_order = late.groupby("l_orderkey").l_suppkey.nunique()
+    sole_orders = set(per_order[per_order == 1].index)
+    sole = late[late.l_orderkey.isin(sole_orders)]
+    want = sole.groupby("l_suppkey").size().sort_values(ascending=False)
+    got = {r.suppkey: r.numwait for r in rows}
+    for k, v in got.items():
+        assert want[k] == v
+    assert sum(got.values()) <= len(sole_orders)
+
+
+def test_exact_substring_spans_are_maximal_disjoint(spark):
+    pdf = REGISTRY["exact_substring_spans"].spark(spark, SF).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.span_tokens == pdf.span_end - pdf.span_start).all()
+    assert (pdf.span_tokens >= NGRAM_K).all()
+    # spans within a doc are disjoint AND non-adjacent (else they'd have
+    # merged): next start > previous end
+    for _, g in pdf.groupby("doc_id"):
+        g = g.sort_values("span_start")
+        assert (g.span_start.values[1:] > g.span_end.values[:-1]).all()
+
+
+def test_exact_substring_spans_windows_only_by_doc(spark):
+    plan = _plan(REGISTRY["exact_substring_spans"].spark(spark, SF))
+    # Every window partitions by doc_id (bounded by one document's
+    # length); gram document-frequency is a groupBy + join-back, never
+    # a window over the gram hash.
+    assert "windowspecdefinition(h" not in plan
+    assert "windowspecdefinition(doc_id" in plan
+
+
+def test_token_pmi_lift_recompute(spark):
+    pdf = REGISTRY["token_pmi_pairs"].spark(spark, SF).toPandas()
+    assert len(pdf) == 50
+    # exact-integer operands ship in the output: recompute lift from them
+    lift = (pdf.cxy * pdf.n_tok * pdf.n_tok).astype(float) / (
+        pdf.m_bi * pdf.cx * pdf.cy
+    ).astype(float)
+    assert (lift == pdf.lift).all()
+    assert (pdf.lift.values[:-1] >= pdf.lift.values[1:]).all()
+
+
+def test_token_pmi_plan_is_take_ordered(spark):
+    plan = _plan(REGISTRY["token_pmi_pairs"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in plan
