@@ -121,6 +121,8 @@ HEADLINE = [
     "sole_late_suppliers",
     "exact_substring_spans",
     "token_pmi_pairs",
+    "semantic_decontamination",
+    "source_overlap_matrix",
     "priority_sample",
     "scd2_type_history",
     "langid_confusion",

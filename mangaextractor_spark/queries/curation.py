@@ -504,3 +504,93 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), "doc_id")
         .limit(PRIO_K)
     )
+
+
+# --- cross-source overlap audit --------------------------------------------
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH w AS (SELECT source, {_WS_SQL} AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         {phash60_sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 3
+),
+per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.s1, p.s2, p.n_common, p1.n_sh AS n_s1, p2.n_sh AS n_s2,
+       CAST(p.n_common AS DOUBLE) / CAST(p1.n_sh AS DOUBLE) AS containment_s1,
+       CAST(p.n_common AS DOUBLE) / CAST(p2.n_sh AS DOUBLE) AS containment_s2,
+       CAST(p.n_common AS DOUBLE) / CAST(p1.n_sh + p2.n_sh - p.n_common AS DOUBLE)
+         AS jaccard
+FROM pairs p
+JOIN per p1 ON p1.source = p.s1
+JOIN per p2 ON p2.source = p.s2
+ORDER BY s1, s2
+"""
+
+
+@register(
+    "source_overlap_matrix",
+    _SOURCE_OVERLAP_SQL,
+    doc="Cross-source contamination audit: for every source pair, the "
+    "count of shared distinct word-3-gram shingles plus both "
+    "directional containments and the Jaccard — the matrix a curation "
+    "run reads to decide which mirror/scrape sources to collapse "
+    "before document-level dedup even starts (CCNet/RefinedWeb audit "
+    "their dumps exactly this way). Scale: the corpus is scanned once "
+    "into DISTINCT (source, shingle-hash) pairs (map-side distinct "
+    "within doc, one combine-capable shuffle); the self-join on the "
+    "hash fans out at most C(S,2) rows per shingle where S is the "
+    "SOURCE cardinality — the rollup dimension (20 here), not the "
+    "corpus — so the join output is bounded by the matrix being "
+    "built. With an unbounded domain key, pre-bucket to the top-S "
+    "volume domains first (per_source_cap's election machinery). "
+    "Ratios are single double divisions of exact BIGINTs — "
+    "bit-stable cross-engine.",
+    tags=("dedup", "audit", "text"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._portable import shingles3
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.select("source", words_col(F.col("text")).alias("ws"))
+        .select("source", F.explode(shingles3(F.col("ws"))).alias("s"))
+        .select("source", phash60(F.col("s")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    per = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("s1"), "h")
+    b = sh.select(F.col("source").alias("s2"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    p1 = per.select(F.col("source").alias("k1"), F.col("n_sh").alias("n_s1"))
+    p2 = per.select(F.col("source").alias("k2"), F.col("n_sh").alias("n_s2"))
+    c = F.col("n_common").cast("double")
+    return (
+        pairs.join(F.broadcast(p1), F.col("s1") == F.col("k1"))
+        .join(F.broadcast(p2), F.col("s2") == F.col("k2"))
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            "n_s1",
+            "n_s2",
+            (c / F.col("n_s1").cast("double")).alias("containment_s1"),
+            (c / F.col("n_s2").cast("double")).alias("containment_s2"),
+            (c / (F.col("n_s1") + F.col("n_s2") - F.col("n_common")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )

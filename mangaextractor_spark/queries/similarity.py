@@ -1058,3 +1058,131 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "vec_id", "sim", "pick_rank")
         .orderBy("cluster_id", "pick_rank")
     )
+
+
+# -- two-table semantic decontamination ---------------------------------------
+
+EVAL_VEC_MOD = 10  # vec_id % 10 == 1 -> the synthetic eval/benchmark slice
+DECON_TAU = 0.35  # cosine at/above which a train vector is contaminated
+
+_SEMANTIC_DECON_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb, sqrt({_DOT.format(a="emb", b="emb")}) AS nrm FROM e
+),
+cents AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm FROM n WHERE vec_id % {CENT_MOD} = 0),
+train AS (SELECT * FROM n WHERE vec_id % {EVAL_VEC_MOD} <> 1),
+ev AS (SELECT vec_id AS eval_id, emb AS q_emb, nrm AS q_nrm
+       FROM n WHERE vec_id % {EVAL_VEC_MOD} = 1),
+assigned AS (
+  SELECT vec_id, emb, nrm, cid AS cell FROM (
+    SELECT t.vec_id, t.emb, t.nrm, cents.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY ROUND({_DOT.format(a="t.emb", b="cents.c_emb")} / (t.nrm * cents.c_nrm), 6) DESC,
+                      cents.cid
+           ) AS crank
+    FROM train t CROSS JOIN cents
+  ) WHERE crank = 1
+),
+probes AS (
+  SELECT eval_id, q_emb, q_nrm, cid AS probe_cell FROM (
+    SELECT ev.eval_id, ev.q_emb, ev.q_nrm, cents.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY ev.eval_id
+             ORDER BY ROUND({_DOT.format(a="ev.q_emb", b="cents.c_emb")} / (ev.q_nrm * cents.c_nrm), 6) DESC,
+                      cents.cid
+           ) AS crank
+    FROM ev CROSS JOIN cents
+  ) WHERE crank <= {NPROBE}
+),
+hits AS (
+  SELECT DISTINCT a.vec_id AS train_id, p.eval_id,
+         ROUND({_DOT.format(a="a.emb", b="p.q_emb")} / (a.nrm * p.q_nrm), 6) AS sim
+  FROM assigned a JOIN probes p ON a.cell = p.probe_cell
+),
+flagged AS (
+  SELECT train_id, eval_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY train_id ORDER BY sim DESC, eval_id) AS r
+  FROM hits WHERE sim >= {DECON_TAU}
+)
+SELECT train_id, eval_id, sim FROM flagged WHERE r = 1 ORDER BY train_id
+"""
+
+
+@register(
+    "semantic_decontamination",
+    _SEMANTIC_DECON_SQL,
+    doc="Two-table embedding-level decontamination (the semantic twin "
+    "of decontamination_overlap's 13-gram check): train vectors whose "
+    f"cosine to ANY eval vector reaches {DECON_TAU}, found through the "
+    "same deterministic IVF layout as ivf_ann_topk — train vectors "
+    "assigned to their max-cosine cell, each eval vector probing its "
+    f"{NPROBE} nearest cells, exact rescoring only inside probed "
+    "cells. Emits each contaminated train id once with its strongest "
+    "eval witness (tie-break min eval_id). Scale: the eval set is "
+    "benchmark-sized (orders smaller than the corpus) so its probe "
+    "list broadcasts; the corpus is scanned once for assignment "
+    "(map-side max_by over the broadcast nlist-bounded centroid set) "
+    "and the contamination join is a cell-key equi-join — never "
+    "corpus x eval brute force. The per-train max is a groupBy "
+    "max_by, not a rank window.",
+    tags=("similarity", "decontamination", "approx"),
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))).persist()
+    cents = n.filter(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    csim = F.round(_dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")), 6)
+    assigned = (
+        n.filter(F.col("vec_id") % EVAL_VEC_MOD != 1)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .groupBy("vec_id")
+        .agg(
+            F.first("emb").alias("emb"),
+            F.first("nrm").alias("nrm"),
+            F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).alias("neg"))).alias("cell"),
+        )
+    )
+    ev = n.filter(F.col("vec_id") % EVAL_VEC_MOD == 1).select(
+        F.col("vec_id").alias("eval_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    qsim = F.round(_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6)
+    wq = W.partitionBy("eval_id").orderBy(F.desc("csim"), "cid")
+    probes = (
+        ev.crossJoin(F.broadcast(cents))
+        .withColumn("csim", qsim)
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= NPROBE)
+        .select("eval_id", "q_emb", "q_nrm", F.col("cid").alias("probe_cell"))
+    )
+    hits = (
+        assigned.join(F.broadcast(probes), F.col("cell") == F.col("probe_cell"))
+        .select(
+            F.col("vec_id").alias("train_id"),
+            "eval_id",
+            F.round(_dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 6).alias(
+                "sim"
+            ),
+        )
+        .distinct()  # a train vec reachable via several probed cells counts once per eval
+        .filter(F.col("sim") >= DECON_TAU)
+    )
+    return (
+        hits.groupBy("train_id")
+        .agg(
+            F.max("sim").alias("sim"),
+            F.max_by("eval_id", F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg"))).alias(
+                "eval_id"
+            ),
+        )
+        .select("train_id", "eval_id", "sim")
+        .orderBy("train_id")
+    )

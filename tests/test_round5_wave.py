@@ -161,3 +161,50 @@ def test_token_pmi_lift_recompute(spark):
 def test_token_pmi_plan_is_take_ordered(spark):
     plan = _plan(REGISTRY["token_pmi_pairs"].spark(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_decontamination_sound(spark):
+    import numpy as np
+
+    pdf = REGISTRY["semantic_decontamination"].spark(spark, SF).toPandas()
+    assert len(pdf) > 0
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").set_index("vec_id").embedding
+    # split membership: train ids are never in the eval slice, witnesses are
+    assert (pdf.train_id % 10 != 1).all()
+    assert (pdf.eval_id % 10 == 1).all()
+    for r in pdf.itertuples(index=False):
+        a = np.asarray(emb[r.train_id], dtype=float)
+        b = np.asarray(emb[r.eval_id], dtype=float)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        # the query rounds to 6dp before thresholding
+        assert round(cos, 6) >= 0.35
+        assert abs(round(cos, 6) - r.sim) < 2e-6
+
+
+def test_semantic_decontamination_no_brute_force(spark):
+    plan = _plan(REGISTRY["semantic_decontamination"].spark(spark, SF))
+    # the contamination join is an equi-join on the cell key; the only
+    # nested-loop joins are the broadcast centroid fan-outs
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_matrix_recompute(spark):
+    import re
+
+    pdf = REGISTRY["source_overlap_matrix"].spark(spark, SF).toPandas()
+    assert (pdf.n_common <= pdf[["n_s1", "n_s2"]].min(axis=1)).all()
+    assert ((pdf.jaccard > 0) & (pdf.jaccard <= 1)).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def shingles(src):
+        out = set()
+        for t in docs[docs.source == src].text:
+            ws = [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+            out |= {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        return out
+
+    row = pdf.iloc[0]
+    a, b = shingles(row.s1), shingles(row.s2)
+    assert row.n_s1 == len(a) and row.n_s2 == len(b)
+    assert row.n_common == len(a & b)
+    assert abs(row.jaccard - len(a & b) / len(a | b)) < 1e-12
