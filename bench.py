@@ -123,6 +123,7 @@ HEADLINE = [
     "token_pmi_pairs",
     "semantic_decontamination",
     "source_overlap_matrix",
+    "bpe_fit",
     "priority_sample",
     "scd2_type_history",
     "langid_confusion",

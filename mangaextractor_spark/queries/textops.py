@@ -976,3 +976,145 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(50)
     )
+
+
+# -- BPE tokenizer-training merge loop ----------------------------------------
+
+BPE_ROUNDS = 4  # learned merges (the oracle unrolls the same rounds as CTEs)
+BPE_REPLACE_PASSES = 6  # replace-all passes per merge; fixpoint for words
+# up to ~2^6 symbols (each pass collapses every other link of an
+# overlapping chain, so passes needed is log2 of the longest word)
+
+
+def _bpe_apply_sql(seg: str, r: int) -> str:
+    for _ in range(BPE_REPLACE_PASSES):
+        seg = (
+            f"REPLACE({seg}, ' ' || b{r}.a || ' ' || b{r}.b || ' ',"
+            f" ' ' || b{r}.a || b{r}.b || ' ')"
+        )
+    return seg
+
+
+def _bpe_round_sql(r: int) -> str:
+    return f"""
+p{r} AS (
+  SELECT sym[i] AS a, sym[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, list_filter(string_split(TRIM(seg), ' '), x -> x <> '') AS sym
+        FROM v{r - 1}),
+       UNNEST(generate_series(1, len(sym) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a || ' ' || b LIMIT 1),
+v{r} AS (SELECT word, freq, {_bpe_apply_sql('seg', r)} AS seg
+         FROM v{r - 1} CROSS JOIN b{r})"""
+
+
+_BPE_FIT_SQL = (
+    f"""
+WITH w AS (SELECT {_WS} AS ws FROM documents),
+vocab AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT ws[i] AS tok FROM w, UNNEST(generate_series(1, len(ws))) AS t(i))
+  GROUP BY 1
+),
+v0 AS (
+  SELECT word, freq,
+         ' ' || array_to_string(
+                  list_transform(generate_series(1, len(word)), i -> word[i]), ' ')
+             || ' ' AS seg
+  FROM vocab
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + "\nSELECT * FROM (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt AS weighted_count FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    + "\n) ORDER BY merge_rank"
+)
+
+
+@register(
+    "bpe_fit",
+    _BPE_FIT_SQL,
+    doc=f"BPE tokenizer training, {BPE_ROUNDS} merge rounds (Sennrich "
+    "et al. 2016): per round, the highest-frequency adjacent symbol "
+    "pair over the corpus word-frequency table (tie-break "
+    "lexicographic) is learned and applied to every word's symbol "
+    "sequence — the iterative-algorithm twin of kmeans_fit, and the "
+    "training step whose single-round statistic bpe_pair_counts "
+    "already exposes. Fully distributed: the argmax pair is a 1-row "
+    "TakeOrdered broadcast into the merge-apply (never a driver "
+    "collect); the apply is replace-all on the sentinel-delimited "
+    f"symbol string, {BPE_REPLACE_PASSES} passes (both engines scan "
+    "left-to-right non-overlapping, so even intermediates agree "
+    "bit-for-bit; passes = log2(longest word) reaches the fixpoint); "
+    "the vocab frame is localCheckpoint'ed per round so plan depth "
+    "stays linear in rounds. Scale: the pair count is a map-side-"
+    "combined groupBy over the VOCAB (words x their lengths, orders "
+    "smaller than the corpus after the one corpus-scan word count); "
+    "everything downstream of v0 is vocabulary-sized. Output is "
+    "integer counts + strings — no floats anywhere.",
+    tags=("text", "iterative", "tokenizer"),
+)
+def bpe_fit(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(words_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")), lambda i: F.col("word").substr(i, F.lit(1))
+    )
+    v = vocab.select(
+        "word", "freq", F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("seg")
+    ).localCheckpoint()
+    merges = []
+    for r in range(1, rounds + 1):
+        sym = F.filter(F.split(F.trim(F.col("seg")), " "), lambda x: x != "")
+        sp = v.select("freq", sym.alias("sym")).filter(F.size("sym") >= 2)
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.size("sym") - 2),
+            lambda i: F.concat_ws(" ", F.slice("sym", i + 1, 2)),
+        )
+        pc = (
+            sp.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pc.orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .select(
+                F.substring_index("pair", " ", 1).alias("a"),
+                F.substring_index("pair", " ", -1).alias("b"),
+                "cnt",
+            )
+            .localCheckpoint()  # 1 row; keeps each round at one vocab pass
+        )
+        merges.append(
+            best.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("weighted_count"),
+            )
+        )
+        if r < rounds:
+            seg = F.col("seg")
+            search = F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" "))
+            repl = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
+            for _ in range(BPE_REPLACE_PASSES):
+                seg = F.replace(seg, search, repl)
+            v = (
+                v.crossJoin(F.broadcast(best))
+                .select("word", "freq", seg.alias("seg"))
+                .localCheckpoint()
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")

@@ -208,3 +208,41 @@ def test_source_overlap_matrix_recompute(spark):
     assert row.n_s1 == len(a) and row.n_s2 == len(b)
     assert row.n_common == len(a & b)
     assert abs(row.jaccard - len(a & b) / len(a | b)) < 1e-12
+
+
+def test_bpe_fit_matches_reference_bpe(spark):
+    """The 4 learned merges equal a textbook Python BPE over the same
+    word-frequency table (Sennrich et al. algorithm 1)."""
+    import re
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vocab = Counter()
+    for t in docs.text:
+        vocab.update(w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w)
+    segs = {w: list(w) for w in vocab}
+    want = []
+    for _ in range(4):
+        pc = Counter()
+        for w, f in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        # max count, tie-break lexicographic on "a b"
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        want.append((a, b, a + b, cnt))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    got = [
+        (r.left_sym, r.right_sym, r.merged, r.weighted_count)
+        for r in REGISTRY["bpe_fit"].spark(spark, SF).collect()
+    ]
+    assert got == want
