@@ -118,3 +118,27 @@ SKETCH_BUCKET_CAP = 64
 # needs floats — J >= 1/2 is 3c >= na+nb, "above segment average" is
 # bal*cnt > sum, a majority share is k*part > total. Cross-multiplied
 # integer predicates are bit-stable across engines by construction.
+
+# Round-5 final additions, same taxonomy:
+# - VOCAB-SIZED FRONTIER (bpe_fit, token_pmi_pairs, vocab_coverage):
+#   one corpus scan reduces to a word/pair-frequency table bounded by
+#   the vocabulary, and every iteration/join after that touches only
+#   vocab-sized frames. Iterative ops localCheckpoint the small frame
+#   per round (kmeans_fit's rule) so plan depth stays linear in rounds
+#   and the corpus is never rescanned.
+# - DIMENSION-BOUNDED MATRIX JOINS (source_overlap_matrix): a self-join
+#   on a corpus-sized key is safe when the VALUE side is a rollup
+#   dimension — fan-out per key is <= C(S,2) where S is the dimension
+#   cardinality, i.e. bounded by the output matrix itself. With an
+#   unbounded dimension (raw domains), elect top-S by volume first.
+# - INTERVAL-UNION WINDOWS (exact_substring_spans): gaps-and-islands
+#   over positions partitions by doc_id — bounded by one document's
+#   length, the same construction-bounded class as the packing bucket
+#   window. The df side stays groupBy + join-back like
+#   repeated_ngram_stats.
+# - BIGINT PRODUCT HEADROOM (token_pmi_pairs lift = cxy*N^2/(M*cx*cy)):
+#   exact-integer cross-products overflow int64 when N approaches 2^21
+#   tokens x top counts; at real scale compute the products in
+#   DECIMAL(38,0) (both engines support it exactly) before the single
+#   double division. The predicate form (cross-multiplied comparisons)
+#   has the same headroom rule.
