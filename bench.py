@@ -119,6 +119,13 @@ HEADLINE = [
     "top_revenue_supplier",
     "small_quantity_revenue",
     "sole_late_suppliers",
+    "forecast_revenue_change",
+    "nation_volume_shipping",
+    "market_share",
+    "nation_profit_rollup",
+    "shipmode_priority_counts",
+    "promo_revenue_share",
+    "disjunctive_discount_revenue",
     "exact_substring_spans",
     "token_pmi_pairs",
     "semantic_decontamination",

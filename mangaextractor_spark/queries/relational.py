@@ -1917,3 +1917,415 @@ def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "suppkey")
         .limit(100)
     )
+
+
+# -- TPC-H Q6-shaped forecast revenue change ---------------------------------
+
+_FORECAST_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue_delta,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(3,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "forecast_revenue_change",
+    _FORECAST_SQL,
+    doc="TPC-H Q6 forecast-revenue-change: the what-if aggregate "
+    "(revenue given up to mid-band discounts on small orders in one "
+    "year). The plan IS the point: every predicate — date range, "
+    "discount band, quantity cap — pushes to the parquet scan "
+    "(PushedFilters), the aggregate is one map-side-combined partial, "
+    "and the job has ZERO shuffles beyond the final 1-row combine. "
+    "The discount test runs on the DECIMAL form so 0.05/0.07 are "
+    "exact bounds, not float neighbors.",
+    tags=("scan", "agg"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & d.between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * d)
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# -- TPC-H Q7-shaped bilateral nation volume ---------------------------------
+
+_NATION_VOLUME_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_9')
+    OR (sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+@register(
+    "nation_volume_shipping",
+    _NATION_VOLUME_SQL,
+    doc="TPC-H Q7 bilateral shipping volume: revenue flowing between "
+    "two nations in either direction, per shipping year. Shape: the "
+    "fact table joins two independent dimension CHAINS "
+    "(supplier->nation and orders->customer->nation) with the "
+    "either-direction pair predicate evaluated after both chains "
+    "resolve. Scale: supplier/nation/customer dims broadcast into the "
+    "two fact-side joins; orders-lineitem is the one big equi-join "
+    "(orderkey, AQE-splittable); the pair filter prunes to the two "
+    "nations BEFORE the big join on the supplier side (dim filters "
+    "push into the broadcast build). Exact DECIMAL revenue, one "
+    "output cast.",
+    tags=("join", "agg"),
+)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pair = {"NATION_3", "NATION_9"}
+    sn = (
+        s.join(F.broadcast(n.filter(n.n_name.isin(*pair))), s.s_nationkey == n.n_nationkey)
+        .select(F.col("s_suppkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        c.join(F.broadcast(n.filter(n.n_name.isin(*pair))), c.c_nationkey == n.n_nationkey)
+        .select(F.col("c_custkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    )
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    return (
+        l.join(F.broadcast(sn), l.l_suppkey == F.col("sk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == F.col("ck"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(e * (1 - d)).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+# -- TPC-H Q8-shaped market share ---------------------------------------------
+
+_MARKET_SHARE_SQL = """
+WITH vol AS (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(3,2))) AS v,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+)
+SELECT order_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(v) AS DOUBLE) AS mkt_share,
+       CAST(SUM(v) AS DOUBLE) AS total_volume
+FROM vol GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "market_share",
+    _MARKET_SHARE_SQL,
+    doc="TPC-H Q8 national market share: NATION_5 suppliers' slice of "
+    "the EUROPEAN customers' STANDARD-part market per order year. The "
+    "share is a conditional-sum / sum ratio — both sums accumulate in "
+    "exact DECIMAL and the share is ONE double division per year row, "
+    "so the hash is bit-stable (a double-accumulated numerator would "
+    "not be). Scale: six dimension joins all broadcast (region/nation/"
+    "part/supplier/customer are each orders-of-magnitude smaller than "
+    "the fact side, and the region+type filters shrink them further "
+    "before the build); the lineitem-orders equi-join is the one real "
+    "shuffle; the CASE keeps the share query to ONE pass where a "
+    "self-join of two filtered aggregates would scan twice.",
+    tags=("join", "agg", "ratio"),
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        F.col("s_suppkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    euro_cust = (
+        c.join(
+            F.broadcast(
+                n.select("n_nationkey", "n_regionkey")
+                .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+                .select("n_nationkey")
+            ),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("ck"))
+    )
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    v = (e * (1 - d)).alias("v")
+    vol = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sn), l.l_suppkey == F.col("sk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(euro_cust), o.o_custkey == F.col("ck"))
+        .select(F.year("o_orderdate").cast("long").alias("order_year"), "supp_nation", v)
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("v")).otherwise(F.lit(0)))
+    return (
+        vol.groupBy("order_year")
+        .agg(
+            (nat.cast("double") / F.sum("v").cast("double")).alias("mkt_share"),
+            F.sum("v").cast("double").alias("total_volume"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# -- TPC-H Q9-shaped nation profit rollup -------------------------------------
+
+_NATION_PROFIT_SQL = """
+SELECT sn.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+              - CAST(l.l_quantity AS DECIMAL(12,2))
+                * CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(3,2)))
+            AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gizmo%'
+GROUP BY 1, 2
+ORDER BY nation, order_year DESC
+"""
+
+
+@register(
+    "nation_profit_rollup",
+    _NATION_PROFIT_SQL,
+    doc="TPC-H Q9 product-line profit: per supplier nation and order "
+    "year, revenue minus a supply-cost proxy (10% of retail price per "
+    "unit — this schema carries no ps_supplycost) for parts whose "
+    "name matches a substring. Every term of the profit expression "
+    "stays DECIMAL until the output cast, so the mixed add/subtract "
+    "sum is exact and order-independent. Scale: the LIKE filter "
+    "shrinks part BEFORE its broadcast build; supplier/nation "
+    "broadcast; lineitem-orders is the one shuffle join; the rollup "
+    "is nations x years rows.",
+    tags=("join", "agg"),
+)
+def nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gizmo%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        F.col("s_suppkey").alias("sk"), F.col("n_name").alias("nation")
+    )
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    rp = F.col("p_retailprice").cast("decimal(12,2)")
+    cost_rate = F.lit("0.10").cast("decimal(3,2)")
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), l.l_suppkey == F.col("sk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(F.sum(e * (1 - d) - q * rp * cost_rate).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("order_year"))
+    )
+
+
+# -- TPC-H Q12-shaped late-shipment priority counts ---------------------------
+
+_SHIPMODE_SQL = """
+SELECT l.l_linestatus AS line_status,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "shipmode_priority_counts",
+    _SHIPMODE_SQL,
+    doc="TPC-H Q12 shipping-mode priority audit: among 1996 line items "
+    "shipped more than 45 days after ordering (the stand-in for Q12's "
+    "receipt/commit lateness — this schema has no ship mode or "
+    "receipt date, l_linestatus plays the mode), how many belonged to "
+    "high- vs low-priority orders. The two CASE sums make it ONE pass "
+    "over the join — Q12's signature — instead of two filtered "
+    "aggregates. Scale: the date-range filter pushes to the lineitem "
+    "scan; the residual lateness predicate rides the orderkey "
+    "equi-join; output is |linestatus| rows.",
+    tags=("join", "agg"),
+)
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")),
+        )
+        .groupBy(F.col("l_linestatus").alias("line_status"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_priority_count"),
+        )
+        .orderBy("line_status")
+    )
+
+
+# -- TPC-H Q14-shaped promo revenue share --------------------------------------
+
+_PROMO_SHARE_SQL = """
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                 ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS DOUBLE)
+         AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register(
+    "promo_revenue_share",
+    _PROMO_SHARE_SQL,
+    doc="TPC-H Q14 promotion effect: the percentage of March-1996 "
+    "revenue from PROMO-type parts. Q14's signature is the "
+    "conditional-sum ratio in one pass; both sums are exact DECIMAL, "
+    "the percentage is one double division then one multiply by the "
+    "literal 100.0 — two float ops total, identical expression tree "
+    "in both engines. Scale: month filter pushes to the scan, part "
+    "dim broadcasts, zero other shuffles (1-row output).",
+    tags=("join", "agg", "ratio"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    rev = e * (1 - d)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+    return l.join(F.broadcast(p.select("p_partkey", "p_type")), l.l_partkey == p.p_partkey).agg(
+        (F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double")).alias(
+            "promo_revenue_pct"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# -- TPC-H Q19-shaped disjunctive revenue --------------------------------------
+
+_DISJUNCTIVE_SQL = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 15 AND 40
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register(
+    "disjunctive_discount_revenue",
+    _DISJUNCTIVE_SQL,
+    doc="TPC-H Q19 three-branch disjunctive revenue: OR of three "
+    "(brand, size-range, quantity-range) conjunctions spanning both "
+    "join sides. The shape exists to test predicate handling: the "
+    "part-only disjuncts (brand OR brand OR brand, size unions) are "
+    "inferable pre-join and shrink the broadcast build, while the "
+    "mixed part x lineitem residual evaluates inside the join — "
+    "Catalyst keeps the whole thing a broadcast hash join with no "
+    "fact-side blowup. Exact DECIMAL revenue, single output cast.",
+    tags=("join", "agg", "scan"),
+)
+def disjunctive_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    q = F.col("l_quantity")
+    b = F.col("p_brand")
+    z = F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & z.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#2") & z.between(5, 20) & q.between(10, 30))
+        | ((b == "Brand#3") & z.between(15, 40) & q.between(20, 40))
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(e * (1 - d)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

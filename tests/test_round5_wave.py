@@ -246,3 +246,67 @@ def test_bpe_fit_matches_reference_bpe(spark):
         for r in REGISTRY["bpe_fit"].spark(spark, SF).collect()
     ]
     assert got == want
+
+
+def test_forecast_revenue_pushes_all_filters(spark):
+    plan = _plan(REGISTRY["forecast_revenue_change"].spark(spark, SF))
+    # Q6's point: every predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert plan.count("Exchange") <= 1  # only the 1-row final combine
+
+
+def test_nation_volume_is_bilateral(spark):
+    rows = REGISTRY["nation_volume_shipping"].spark(spark, SF).collect()
+    assert rows
+    pairs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert pairs <= {("NATION_3", "NATION_9"), ("NATION_9", "NATION_3")}
+    assert len(pairs) == 2  # both directions flow at sf0.01
+
+
+def test_market_share_recompute(spark):
+    rows = REGISTRY["market_share"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.total_volume > 0
+
+
+def test_shipmode_counts_partition(spark):
+    rows = REGISTRY["shipmode_priority_counts"].spark(spark, SF).collect()
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    m = l.merge(o[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+                left_on="l_orderkey", right_on="o_orderkey")
+    m = m[(m.l_shipdate >= pd.Timestamp("1996-01-01"))
+          & (m.l_shipdate < pd.Timestamp("1997-01-01"))
+          & (m.l_shipdate > m.o_orderdate + pd.Timedelta(days=45))]
+    hi = m.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    for r in rows:
+        sel = m.l_linestatus == r.line_status
+        assert r.high_priority_count == int((sel & hi).sum())
+        assert r.low_priority_count == int((sel & ~hi).sum())
+
+
+def test_promo_share_one_pass(spark):
+    df = REGISTRY["promo_revenue_share"].spark(spark, SF)
+    row = df.collect()[0]
+    assert 0.0 < row.promo_revenue_pct < 100.0
+    # conditional-sum ratio: ONE scan of lineitem, not two filtered aggs
+    # (count in the final plan only — AQE's string repeats the initial plan)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 2  # lineitem + the broadcast part dim
+
+
+def test_disjunctive_revenue_matches_pandas(spark):
+    row = REGISTRY["disjunctive_discount_revenue"].spark(spark, SF).collect()[0]
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")
+    p = pd.read_parquet(f"{SF}/part.parquet")
+    m = l.merge(p[["p_partkey", "p_brand", "p_size"]], left_on="l_partkey", right_on="p_partkey")
+    c1 = (m.p_brand == "Brand#1") & m.p_size.between(1, 10) & m.l_quantity.between(1, 20)
+    c2 = (m.p_brand == "Brand#2") & m.p_size.between(5, 20) & m.l_quantity.between(10, 30)
+    c3 = (m.p_brand == "Brand#3") & m.p_size.between(15, 40) & m.l_quantity.between(20, 40)
+    sel = m[c1 | c2 | c3]
+    assert row.n_lines == len(sel)
+    cents = (sel.l_extendedprice * 100).round().astype("int64")
+    pct = 100 - (sel.l_discount * 100).round().astype("int64")
+    assert round(row.revenue * 10000) == int((cents * pct).sum())
