@@ -131,6 +131,8 @@ HEADLINE = [
     "semantic_decontamination",
     "source_overlap_matrix",
     "bpe_fit",
+    "webdataset_ingest",
+    "webdataset_samples",
     "priority_sample",
     "scd2_type_history",
     "langid_confusion",

@@ -252,3 +252,73 @@ def video_fixture_path() -> str:
     pd.DataFrame(rows).to_parquet(tmp, index=False)
     os.replace(tmp, path)
     return path
+
+
+_TAR_SPEC = dict(n_shards=6, samples_per_shard=8, seed=99)
+_TAR_DIRNAME = "wds_" + "_".join(f"{k}{v}" for k, v in sorted(_TAR_SPEC.items()))
+
+
+def tar_fixture_dir() -> str:
+    """Write-once WebDataset fixture: ``n_shards`` tar shards of
+    multi-component samples (a PNG page, a caption .txt, sometimes a
+    .json sidecar) plus ``manifest.parquet`` with one row per member
+    (shard, member, n_bytes, md5hex) computed from the SOURCE payloads
+    BEFORE tar-ing — so the oracle manifest is independent of both the
+    stdlib tar writer and the from-scratch ustar parser under test."""
+    import hashlib
+    import io
+    import json
+    import tarfile
+
+    out_dir = os.path.join(FIXTURE_DIR, _TAR_DIRNAME)
+    done = os.path.join(out_dir, "manifest.parquet")
+    if os.path.exists(done):
+        return out_dir
+    import numpy as np
+    import pandas as pd
+
+    from .generator import _VOCAB
+    from .png import encode_gray_png
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = []
+    for si in range(_TAR_SPEC["n_shards"]):
+        rng = np.random.Generator(np.random.PCG64(_TAR_SPEC["seed"] * 100 + si))
+        shard = f"shard-{si:04d}.tar"
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for ki in range(_TAR_SPEC["samples_per_shard"]):
+                key = f"{si:04d}{ki:04d}"
+                h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+                img = (rng.integers(0, 256, size=(h, w))).astype("uint8")
+                words = [
+                    _VOCAB[int(i)]
+                    for i in rng.integers(0, len(_VOCAB), int(rng.integers(3, 9)))
+                ]
+                members = [
+                    (f"{key}.png", encode_gray_png(img)),
+                    (f"{key}.txt", " ".join(words).encode()),
+                ]
+                if rng.random() < 0.5:
+                    members.append(
+                        (f"{key}.json", json.dumps({"k": key, "h": h, "w": w}).encode())
+                    )
+                for name, payload in members:
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic bytes
+                    tf.addfile(info, io.BytesIO(payload))
+                    manifest.append(
+                        {
+                            "shard": shard,
+                            "member": name,
+                            "n_bytes": len(payload),
+                            "md5hex": hashlib.md5(payload).hexdigest(),
+                        }
+                    )
+        with open(os.path.join(out_dir, shard), "wb") as f:
+            f.write(buf.getvalue())
+    tmp = tempfile.mktemp(dir=out_dir, suffix=".parquet.tmp")
+    pd.DataFrame(manifest).to_parquet(tmp, index=False)
+    os.replace(tmp, done)
+    return out_dir

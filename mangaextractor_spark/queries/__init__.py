@@ -66,6 +66,7 @@ def _load_all() -> None:
         search,
         similarity,
         textops,
+        webdataset,
     )
 
 
