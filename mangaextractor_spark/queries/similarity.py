@@ -1186,3 +1186,77 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_id", "eval_id", "sim")
         .orderBy("train_id")
     )
+
+
+# -- ANN index-quality evaluation ----------------------------------------------
+
+# LCM of possible first-hit ranks 1..TOP_K (=3): reciprocal ranks become
+# exact integers (6/1, 6/2, 6/3) so MRR sums are order-independent.
+_RR_SCALE = 6
+
+_ANN_EVAL_SQL = f"""
+WITH gold AS ({_TOPK_SQL.replace("ORDER BY q_id, rank", "")}),
+cand AS ({_IVF_SQL.replace("ORDER BY q_id, rank", "")}),
+hits AS (
+  SELECT c.q_id, c.rank AS cand_rank
+  FROM cand c JOIN gold g ON g.q_id = c.q_id AND g.neighbor_id = c.neighbor_id
+),
+per_q AS (
+  SELECT q_id,
+         CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+         CAST(MIN(cand_rank) AS BIGINT) AS first_hit_rank
+  FROM hits GROUP BY 1
+)
+SELECT g.q_id,
+       COALESCE(p.hits_at_k, 0) AS hits_at_k,
+       COALESCE(p.first_hit_rank, 0) AS first_hit_rank,
+       CAST(CASE WHEN p.first_hit_rank IS NULL THEN 0
+            ELSE {_RR_SCALE} // p.first_hit_rank END AS BIGINT) AS rr_x{_RR_SCALE}
+FROM (SELECT DISTINCT q_id FROM gold) g
+LEFT JOIN per_q p USING (q_id)
+ORDER BY q_id
+"""
+
+
+@register(
+    "ann_recall_eval",
+    _ANN_EVAL_SQL,
+    doc=f"Index-quality evaluation as a first-class operator (the ANN "
+    "twin of minhash_jaccard_accuracy's sketch calibration): per "
+    f"query, how many of the brute-force top-{TOP_K} the IVF index "
+    "returned (recall@k numerator) and the reciprocal rank of its "
+    f"first true hit — scaled by {_RR_SCALE} = lcm(1..{TOP_K}) so "
+    "every reciprocal is an exact INTEGER and the MRR a consumer "
+    "derives is an order-independent integer sum, never a float "
+    "accumulation. Queries with no hit emit 0s (the LEFT JOIN row), "
+    "so a recall regression is visible, not silently absent. Scale: "
+    "both arms are the already-bounded operators (brute force is the "
+    "documented exact baseline; IVF is the scale path); the eval "
+    "itself joins two k*|Q|-row frames — negligible at any corpus "
+    "size, which is the point of making evaluation an operator: it "
+    "rides along on every index build.",
+    tags=("similarity", "eval"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = embedding_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    cand = ivf_ann_topk(spark, sf_dir).select("q_id", "neighbor_id", "rank")
+    hits = cand.join(gold, ["q_id", "neighbor_id"])
+    per_q = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.min("rank").alias("first_hit_rank"),
+    )
+    qs = gold.select("q_id").distinct()
+    return (
+        qs.join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+            F.coalesce("first_hit_rank", F.lit(0)).alias("first_hit_rank"),
+            F.when(
+                F.col("first_hit_rank").isNull(), F.lit(0)
+            )
+            .otherwise((F.lit(_RR_SCALE) / F.col("first_hit_rank")).cast("long"))
+            .alias(f"rr_x{_RR_SCALE}"),
+        )
+        .orderBy("q_id")
+    )

@@ -310,3 +310,17 @@ def test_disjunctive_revenue_matches_pandas(spark):
     cents = (sel.l_extendedprice * 100).round().astype("int64")
     pct = 100 - (sel.l_discount * 100).round().astype("int64")
     assert round(row.revenue * 10000) == int((cents * pct).sum())
+
+
+def test_ann_recall_eval_consistency(spark):
+    pdf = REGISTRY["ann_recall_eval"].spark(spark, SF).toPandas()
+    assert len(pdf) == 16  # one row per query, no-hit queries included
+    assert (pdf.hits_at_k <= 3).all()
+    hit = pdf[pdf.first_hit_rank > 0]
+    # exact reciprocal-rank integers: rr * rank == scale for every hit
+    assert (hit.rr_x6 * hit.first_hit_rank == 6).all()
+    miss = pdf[pdf.first_hit_rank == 0]
+    assert (miss.hits_at_k == 0).all() and (miss.rr_x6 == 0).all()
+    # the recall this eval reports must agree with the recall gate the
+    # ANN tests already enforce (ivf recall floor at sf0.01)
+    assert pdf.hits_at_k.sum() / (3 * len(pdf)) >= 0.5
