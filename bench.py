@@ -133,6 +133,7 @@ HEADLINE = [
     "bpe_fit",
     "webdataset_ingest",
     "webdataset_samples",
+    "webdataset_emit",
     "ann_recall_eval",
     "priority_sample",
     "scd2_type_history",

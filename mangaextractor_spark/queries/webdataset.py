@@ -98,3 +98,68 @@ def webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "sample")
     )
+
+
+# -- the emit side: write shards, prove them by re-parse ----------------------
+
+_EMIT_SQL = f"""
+SELECT {phash60_sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+       LPAD(CAST(doc_id AS VARCHAR), 12, '0') || '.txt' AS member,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS md5hex
+FROM documents
+ORDER BY shard, member
+"""
+
+
+@register(
+    "webdataset_emit",
+    _EMIT_SQL,
+    doc="Training-shard EMIT, proven by round trip: documents are "
+    "assigned to shards with shard_plan's exact salted-hash rule, each "
+    "shard group is packed into a real ustar archive by the "
+    "from-scratch WRITER (sources/tar.py:build_ustar — deterministic "
+    "bytes, stdlib-readable by test), and the emitted inventory is "
+    "what the from-scratch PARSER reads BACK out of those archive "
+    "bytes. The oracle computes the same inventory from the documents "
+    "table directly, so a hash match proves writer and parser agree "
+    "byte-for-byte on every payload through a full encode/decode "
+    "cycle. Scale: one shuffle on the shard key (the write's natural "
+    "partitioning — exactly what a production emit pays), then each "
+    "shard builds map-side in its own applyInPandas group; shard "
+    "count is the declared knob (shard_plan.N_SHARDS), so group size "
+    "is corpus/N_SHARDS by construction.",
+    tags=("source", "pipeline", "training"),
+)
+def webdataset_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import load_table
+    from ..sources.tar import build_ustar, parse_ustar
+    from .corpus_prep import shard_col
+
+    def kern(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        members = sorted(
+            (f"{int(i):012d}.txt", t.encode("utf-8"))
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        )
+        blob = build_ustar(members)
+        shard = int(pdf["shard"].iloc[0])
+        return pd.DataFrame(
+            [
+                (shard, name, len(payload), hashlib.md5(payload).hexdigest())
+                for name, payload in parse_ustar(blob)
+            ],
+            columns=["shard", "member", "n_bytes", "md5hex"],
+        )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        shard_col().alias("shard"), "doc_id", "text"
+    )
+    return (
+        d.groupBy("shard")
+        .applyInPandas(kern, "shard long, member string, n_bytes long, md5hex string")
+        .orderBy("shard", "member")
+    )

@@ -113,3 +113,34 @@ def sample_key(member: F.Column | str) -> F.Column:
 def component_ext(member: F.Column | str) -> F.Column:
     """Everything after the first dot (``0007.seg.png`` -> ``seg.png``)."""
     return F.regexp_replace(member, r"^[^.]*\.", "")
+
+
+def build_ustar(members: list[tuple[str, bytes]]) -> bytes:
+    """Build a ustar archive from [(member_name, payload)] — the write
+    twin of ``parse_ustar``, also from scratch. Deterministic bytes:
+    mode 0644, uid/gid 0, mtime 0, members in the order given. The
+    POSIX checksum convention (6 octal digits, NUL, space; field
+    blanked to spaces while summing) matches what stdlib tarfile
+    emits, so stdlib can read these archives (tested) and vice versa."""
+    blocks: list[bytes] = []
+    for name, payload in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            raise TarFormatError(f"member name too long for ustar: {name!r}")
+        hdr = bytearray(_BLOCK)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\0"  # mode
+        hdr[108:116] = b"0000000\0"  # uid
+        hdr[116:124] = b"0000000\0"  # gid
+        hdr[124:136] = f"{len(payload):011o}".encode() + b"\0"
+        hdr[136:148] = b"00000000000\0"  # mtime 0
+        hdr[148:156] = b" " * 8  # checksum field blanked while summing
+        hdr[156:157] = b"0"  # regular file
+        hdr[257:263] = b"ustar\0"
+        hdr[263:265] = b"00"
+        hdr[148:156] = f"{sum(hdr):06o}".encode() + b"\0 "
+        blocks.append(bytes(hdr))
+        blocks.append(payload)
+        blocks.append(b"\0" * ((-len(payload)) % _BLOCK))
+    blocks.append(b"\0" * (2 * _BLOCK))
+    return b"".join(blocks)

@@ -95,3 +95,40 @@ def test_webdataset_samples_complete(spark):
 
     man = pd.read_parquet(os.path.join(tar_fixture_dir(), "manifest.parquet"))
     assert pdf.total_bytes.sum() == man.n_bytes.sum()
+
+
+def test_build_ustar_round_trip_and_stdlib_interop():
+    from mangaextractor_spark.sources.tar import build_ustar
+
+    members = [
+        ("000000000001.txt", b"hello world"),
+        ("a.bin", b""),
+        ("b.bin", b"x" * 512),
+        ("c.bin", b"y" * 1000),
+    ]
+    blob = build_ustar(members)
+    assert len(blob) % 512 == 0
+    assert parse_ustar(blob) == members
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        std = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers() if m.isfile()]
+    assert std == members
+
+
+def test_build_ustar_rejects_long_names():
+    from mangaextractor_spark.sources.tar import build_ustar
+
+    with pytest.raises(TarFormatError, match="too long"):
+        build_ustar([("x" * 101, b"")])
+
+
+def test_webdataset_emit_covers_corpus(spark):
+    pdf = REGISTRY["webdataset_emit"].spark(spark, "/root/testdata/sf0.01").toPandas()
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    assert len(pdf) == len(docs)  # every document lands in exactly one shard
+    assert pdf.member.is_unique
+    assert pdf.shard.nunique() == 16
+    got = dict(zip(pdf.member, pdf.md5hex))
+    import hashlib
+
+    for r in docs.sample(20, random_state=0).itertuples():
+        assert got[f"{r.doc_id:012d}.txt"] == hashlib.md5(r.text.encode()).hexdigest()
