@@ -131,6 +131,8 @@ HEADLINE = [
     "semantic_decontamination",
     "source_overlap_matrix",
     "bpe_fit",
+    "bpe_encode_stats",
+    "epoch_mixture_plan",
     "webdataset_ingest",
     "webdataset_samples",
     "webdataset_emit",

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..session import load_table
 from . import register
-from ._portable import phash60, phash60_sql
+from ._portable import WORDS_SQL, phash60, phash60_sql, words_col
 
 # -- compaction planner --------------------------------------------------
 
@@ -412,4 +412,98 @@ def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(100 * cur_chars) DIV cur_n").alias("cur_meanlen_e2"),
         )
         .orderBy("lang")
+    )
+
+
+# -- epoch mixture plan --------------------------------------------------
+#
+# Data-constrained training schedule (Muennighoff et al. 2023,
+# "Scaling Data-Constrained Language Models", arXiv:2305.16264): when
+# the token budget exceeds what a source can supply at its mixture
+# weight, the source is REPEATED for whole epochs. Given per-source
+# token counts and alpha=0.5 temperature weights (the same rule as
+# temperature_sampling_weights, over sources x tokens instead of
+# languages x docs), compute each source's requested token allocation
+# for a budget of BUDGET_EPOCHS x the whole corpus, and the number of
+# whole epochs of that source needed to serve it.
+BUDGET_EPOCHS = 2  # training budget = 2x total corpus tokens
+_MIX_WS = WORDS_SQL.format(t="text")
+
+_MIX_SQL = f"""
+WITH c AS (
+  SELECT source, CAST(SUM(len({_MIX_WS})) AS BIGINT) AS tokens_avail
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, tokens_avail,
+         CAST(FLOOR(SQRT(CAST(tokens_avail AS DOUBLE)) * {TEMP_SCALE}) AS BIGINT) AS w_e6
+  FROM c
+),
+t AS (
+  SELECT CAST(SUM(w_e6) AS BIGINT) AS tot_w,
+         CAST(SUM(tokens_avail) AS BIGINT) AS tot_toks
+  FROM w
+)
+SELECT w.source, w.tokens_avail, w.w_e6,
+       ({BUDGET_EPOCHS} * t.tot_toks * w.w_e6) // t.tot_w AS requested_tokens,
+       (({BUDGET_EPOCHS} * t.tot_toks * w.w_e6) // t.tot_w + w.tokens_avail - 1)
+         // w.tokens_avail AS epochs,
+       CAST(({BUDGET_EPOCHS} * t.tot_toks * w.w_e6) // t.tot_w AS DOUBLE)
+         / CAST(w.tokens_avail AS DOUBLE) AS repeat_factor
+FROM w CROSS JOIN t
+ORDER BY w.source
+"""
+
+
+@register(
+    "epoch_mixture_plan",
+    _MIX_SQL,
+    doc="Data-constrained repeat schedule (Muennighoff et al. 2023): "
+    "per SOURCE, the available token supply, its alpha=0.5 "
+    "temperature weight floor(sqrt(tokens)*1e6), the token allocation "
+    f"a {BUDGET_EPOCHS}x-corpus training budget requests from it, the "
+    "whole EPOCHS of the source needed to serve that allocation "
+    "(ceiling division — the repeat count a data loader materializes), "
+    "and the effective repeat factor. Complements "
+    "temperature_sampling_weights (which rebalances a FIXED-size "
+    "sample) by answering the budget question: which sources run out "
+    "and must repeat. Exactness: one corpus scan with a map-side-"
+    "combined SUM of per-doc token counts; sqrt is the single double "
+    "op (IEEE correctly rounded in both engines); allocation and "
+    "epochs are BIGINT floor/ceiling divisions of exact operands; "
+    "repeat_factor is ONE double division at the end. Scale shape: "
+    "everything after the scan rides the |sources|-row weight table "
+    "crossed with a ONE-row broadcast total — zero further shuffle.",
+    tags=("text", "pipeline", "sampling"),
+)
+def epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.sum(F.size(words_col(F.col("text")))).cast("long").alias("tokens_avail")
+    )
+    w = c.select(
+        "source",
+        "tokens_avail",
+        F.floor(F.sqrt(F.col("tokens_avail").cast("double")) * TEMP_SCALE)
+        .cast("long")
+        .alias("w_e6"),
+    ).localCheckpoint()  # |sources| rows; one corpus scan feeds both branches
+    tot = w.agg(
+        F.sum("w_e6").cast("long").alias("tot_w"),
+        F.sum("tokens_avail").cast("long").alias("tot_toks"),
+    )
+    req = f"({BUDGET_EPOCHS} * tot_toks * w_e6) DIV tot_w"
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens_avail",
+            "w_e6",
+            F.expr(req).alias("requested_tokens"),
+            F.expr(f"({req} + tokens_avail - 1) DIV tokens_avail").alias("epochs"),
+            (
+                F.expr(req).cast("double") / F.col("tokens_avail").cast("double")
+            ).alias("repeat_factor"),
+        )
+        .orderBy("source")
     )

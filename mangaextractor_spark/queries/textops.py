@@ -1118,3 +1118,134 @@ def bpe_fit(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS) -> DataF
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_rank")
+
+
+# -- BPE encode: apply the learned merges corpus-wide --------------------------
+#
+# The consumer of bpe_fit: tokenize the whole corpus under the learned
+# merge table and report per-language fertility (tokens/word) and
+# compression (chars/token) — the metrics a tokenizer-training loop
+# watches (Rust et al. 2021, "How Good is Your Tokenizer?"). The
+# reference has no tokenizer at all (it OCRs glyphs); this is the
+# training-data-pipeline closure of bpe_pair_counts -> bpe_fit.
+
+_BPE_ENC_SYM = "list_filter(string_split(TRIM(seg), ' '), x -> x <> '')"
+
+_BPE_ENCODE_SQL = (
+    f"""
+WITH dw0 AS (SELECT lang, {_WS} AS ws FROM documents),
+dw AS (
+  SELECT lang, ws[i] AS word
+  FROM dw0, UNNEST(generate_series(1, len(ws))) AS t(i)
+),
+vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM dw GROUP BY 1),
+v0 AS (
+  SELECT word, freq,
+         ' ' || array_to_string(
+                  list_transform(generate_series(1, len(word)), i -> word[i]), ' ')
+             || ' ' AS seg
+  FROM vocab
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + f""",
+enc AS (
+  SELECT word, CAST(len({_BPE_ENC_SYM}) AS BIGINT) AS n_tok
+  FROM v{BPE_ROUNDS}
+)
+SELECT dw.lang,
+       COUNT(*) AS n_words,
+       CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(dw.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(e.n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility,
+       CAST(SUM(len(dw.word)) AS DOUBLE) / CAST(SUM(e.n_tok) AS DOUBLE)
+         AS chars_per_token
+FROM dw JOIN enc e USING (word)
+GROUP BY dw.lang
+ORDER BY dw.lang
+"""
+)
+
+
+@register(
+    "bpe_encode_stats",
+    _BPE_ENCODE_SQL,
+    doc=f"Corpus-wide BPE ENCODE under the {BPE_ROUNDS} merges bpe_fit "
+    "learns: tokenize every word with the learned merge table and "
+    "report per-language fertility (tokens/word) and compression "
+    "(chars/token) — the metrics a tokenizer loop watches (Rust et "
+    "al. 2021). Both engines learn the merges with bpe_fit's exact "
+    "rules (1-row TakeOrdered argmax broadcast, sentinel replace-all "
+    "apply, lexicographic ties), then the encode itself runs ONLY on "
+    "the VOCABULARY (distinct words — orders smaller than the corpus) "
+    "and joins token counts back to the corpus word stream by an "
+    "equi-join on word (vocab side is broadcastable; at 100 TB it is "
+    "an AQE-splittable hash join). Aggregates are map-side-combined "
+    "BIGINT sums per language; the two ratios are single double "
+    "divisions of exact integers. The oracle replays the identical "
+    "merge rounds as unrolled CTEs, so hash parity proves fit AND "
+    "encode agree bit-for-bit end-to-end.",
+    tags=("text", "tokenizer", "pipeline"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    dw = d.select("lang", F.explode(words_col(F.col("text"))).alias("word"))
+    vocab = dw.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")), lambda i: F.col("word").substr(i, F.lit(1))
+    )
+    v = vocab.select(
+        "word", "freq", F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("seg")
+    ).localCheckpoint()
+    for _r in range(1, rounds + 1):
+        sym = F.filter(F.split(F.trim(F.col("seg")), " "), lambda x: x != "")
+        sp = v.select("freq", sym.alias("sym")).filter(F.size("sym") >= 2)
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.size("sym") - 2),
+            lambda i: F.concat_ws(" ", F.slice("sym", i + 1, 2)),
+        )
+        best = (
+            sp.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .select(
+                F.substring_index("pair", " ", 1).alias("a"),
+                F.substring_index("pair", " ", -1).alias("b"),
+            )
+            .localCheckpoint()  # 1 row; keeps each round at one vocab pass
+        )
+        seg = F.col("seg")
+        search = F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" "))
+        repl = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
+        for _ in range(BPE_REPLACE_PASSES):
+            seg = F.replace(seg, search, repl)
+        v = (
+            v.crossJoin(F.broadcast(best))
+            .select("word", "freq", seg.alias("seg"))
+            .localCheckpoint()
+        )
+    enc_sym = F.filter(F.split(F.trim(F.col("seg")), " "), lambda x: x != "")
+    enc = v.select("word", F.size(enc_sym).cast("long").alias("n_tok"))
+    return (
+        dw.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+                "fertility"
+            ),
+            (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
