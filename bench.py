@@ -81,6 +81,9 @@ HEADLINE = [
     "bm25_topk",
     "main_content_spans",
     "caption_candidates",
+    "mm_token_costs",
+    "multimodal_packing",
+    "resolution_bucketing",
     "snapshot_drift",
     "extracted_dedup_groups",
     "chunk_spans",

@@ -56,6 +56,7 @@ def _load_all() -> None:
         maintenance,
         minhash_gate,
         minhash_join,
+        mm_packing,
         multimodal_queries,
         normalize,
         parsing_queries,

@@ -1,0 +1,459 @@
+"""Multimodal token accounting & packing — the training-loader math for
+INTERLEAVED text+image documents (the graft cell's payload), as three
+oracle-checked operators.
+
+A vision-language training stack does not pack word counts: every image
+in an interleaved document enters the sequence as a grid of ViT patch
+tokens (ceil(w/P) * ceil(h/P) at patch size P, plus begin/end image
+sentinels), so document cost is text tokens + patch tokens and the
+packing/batching layer must use THAT cost model (Alayrac et al. 2022
+Flamingo §2.2 interleaved sequences; Dehghani et al. 2023 NaViT's
+variable-resolution patch packing; McKinzie et al. 2024 MM1 interleaved
+data mixing). This module re-expresses the three loader-side operators
+over the north_rule interleaved spans table:
+
+- ``mm_token_costs``   — per-document multimodal token accounting over
+  the EXTRACTED main-content spans (you pack what you train on, so the
+  html boilerplate strip runs first — same per-kind dispatch as
+  ``main_content_spans``);
+- ``multimodal_packing`` — the packing assignment under the multimodal
+  cost model (the MM twin of ``sequence_packing``; images make per-doc
+  costs heavy-tailed, which is exactly why the cost model matters —
+  and the per-doc cost is BOUNDED by construction here, max resolution
+  caps patch count, so hash buckets stay balanced);
+- ``resolution_bucketing`` — NaViT/SDXL-style aspect-ratio bucketing:
+  each image is assigned the nearest of five canonical aspect buckets
+  by EXACT integer cross-multiplication (no float log-ratio), with
+  native-vs-canonical patch totals per bucket.
+
+Image dimensions derive deterministically from ``media_ref`` (the
+fixture carries no real decoder output at sf scale; production wires
+``functions/multimodal.decode`` metadata in instead — same columns,
+same downstream math). All arithmetic is BIGINT-exact and identical in
+Spark and DuckDB; ratios are one double division of exact operands.
+
+Scale shape (the 10^12-doc plan): costs are array higher-order
+functions applied map-side — zero exchanges before the final sort;
+packing is the one prefix-sum window, partitioned by a construction-
+bounded hash bucket exactly as ``sequence_packing`` (the documented
+knob in queries/_scale_notes.py); bucketing's rollup is one map-side-
+combined groupBy over a 5-row key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.html import html_main_sql, html_main_text
+from ..session import load_table, spread
+from . import register
+from ._portable import WORDS_SQL, phash60, phash60_sql, words_col
+from .main_content import _SPANS_SQL, interleaved_docs
+
+# --- deterministic image geometry & cost model ---------------------------
+
+PATCH = 14  # ViT-L/14 patch size
+IMG_EXTRA = 2  # begin/end-of-image sentinel tokens
+W_MIN, W_MOD = 224, 1057  # native width  in [224, 1280]
+H_MIN, H_MOD = 224, 841  # native height in [224, 1064]
+
+MM_SEQ_LEN = 8192
+MM_PACK_BUCKETS = 8
+
+# Aspect ladder (name, bw, bh, canonical w, canonical h). Canonical
+# resolutions are SDXL-style ~1MP per bucket. bh values {16,4,1,3,9}
+# have LCM 144; WEIGHT = 144 // bh makes |w*bh - h*bw| * WEIGHT an
+# exact common-denominator comparison of |w/h - bw/bh| across buckets
+# (the h factor cancels, see resolution_bucketing doc).
+ASPECT_LADDER = [
+    ("9:16", 9, 16, 756, 1344),
+    ("3:4", 3, 4, 864, 1152),
+    ("1:1", 1, 1, 1024, 1024),
+    ("4:3", 4, 3, 1152, 864),
+    ("16:9", 16, 9, 1344, 756),
+]
+_WEIGHTS = [144 // bh for _, _, bh, _, _ in ASPECT_LADDER]
+
+
+def _img_w(ref: Column) -> Column:
+    return F.lit(W_MIN) + (phash60(ref) % W_MOD)
+
+
+def _img_h(ref: Column) -> Column:
+    return F.lit(H_MIN) + (phash60(F.concat(ref, F.lit("#h"))) % H_MOD)
+
+
+def _img_w_sql(ref: str) -> str:
+    return f"{W_MIN} + {phash60_sql(ref)} % {W_MOD}"
+
+
+def _img_h_sql(ref: str) -> str:
+    return f"{H_MIN} + {phash60_sql(f'{ref} || ' + repr('#h'))} % {H_MOD}"
+
+
+def _patches(w: Column, h: Column) -> Column:
+    """ceil(w/PATCH) * ceil(h/PATCH) as exact integers (floor of a
+    double division is exact here: operands are < 2^11)."""
+    pw = F.floor((w + (PATCH - 1)) / PATCH)
+    ph = F.floor((h + (PATCH - 1)) / PATCH)
+    return (pw * ph).cast("long")
+
+
+def _patches_sql(w: str, h: str) -> str:
+    return f"((({w}) + {PATCH - 1}) // {PATCH}) * ((({h}) + {PATCH - 1}) // {PATCH})"
+
+
+# --- per-doc cost frame (shared by mm_token_costs & multimodal_packing) --
+
+
+def _survivors() -> Column:
+    """Extracted main-content spans (same per-kind dispatch + empty-drop
+    rule as main_content_spans_df; order irrelevant for accounting)."""
+    extracted = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            F.when(s["kind"] == "image", F.lit("image"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            F.when(s["kind"] == "html", html_main_text(s["text"]))
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    return F.filter(extracted, lambda s: (s["text"] != "") | (s["kind"] == "image"))
+
+
+def mm_costs_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans[]) -> (doc_id, n_text_spans, n_images,
+    text_tokens, patch_tokens, mm_tokens) over any north_rule-shaped
+    frame — entirely map-side (zero Exchange/Window; plan-tested), the
+    accounting twin of main_content_spans_df."""
+    surv = _survivors()
+    texts = F.filter(surv, lambda s: s["kind"] == "text")
+    imgs = F.filter(surv, lambda s: s["kind"] == "image")
+    text_tokens = F.aggregate(
+        texts,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.size(words_col(s["text"])),
+    )
+    patch_tokens = F.aggregate(
+        imgs,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + _patches(_img_w(s["media_ref"]), _img_h(s["media_ref"]))
+        + IMG_EXTRA,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(texts).cast("int").alias("n_text_spans"),
+        F.size(imgs).cast("int").alias("n_images"),
+        text_tokens.alias("text_tokens"),
+        patch_tokens.alias("patch_tokens"),
+        (text_tokens + patch_tokens).alias("mm_tokens"),
+    )
+
+
+def _costs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm_costs_df(interleaved_docs(spark, sf_dir))
+
+
+_EXTRACT_CTE = f"""
+docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_SPANS_SQL} AS spans
+  FROM documents
+),
+surv AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(spans, s -> struct_pack(
+             kind := CASE WHEN s.kind = 'image' THEN 'image' ELSE 'text' END,
+             text := CASE WHEN s.kind = 'html' THEN {html_main_sql("s.text")}
+                          ELSE s.text END,
+             media_ref := s.media_ref)),
+           s -> s.text <> '' OR s.kind = 'image'
+         ) AS sv
+  FROM docs
+),
+costs AS (
+  SELECT doc_id,
+         CAST(len(list_filter(sv, s -> s.kind = 'text')) AS INT) AS n_text_spans,
+         CAST(len(list_filter(sv, s -> s.kind = 'image')) AS INT) AS n_images,
+         CAST(COALESCE(list_sum(list_transform(
+             list_filter(sv, s -> s.kind = 'text'),
+             s -> len({WORDS_SQL.format(t="s.text")}))), 0) AS BIGINT) AS text_tokens,
+         CAST(COALESCE(list_sum(list_transform(
+             list_filter(sv, s -> s.kind = 'image'),
+             s -> {_patches_sql(_img_w_sql("s.media_ref"), _img_h_sql("s.media_ref"))}
+                  + {IMG_EXTRA})), 0) AS BIGINT) AS patch_tokens
+  FROM surv
+)
+"""
+
+_MM_COSTS_SQL = f"""
+WITH {_EXTRACT_CTE}
+SELECT doc_id, n_text_spans, n_images, text_tokens, patch_tokens,
+       text_tokens + patch_tokens AS mm_tokens,
+       CAST(patch_tokens AS DOUBLE) / (text_tokens + patch_tokens)
+         AS image_token_share
+FROM costs ORDER BY doc_id
+"""
+
+
+@register(
+    "mm_token_costs",
+    _MM_COSTS_SQL,
+    doc="Per-document multimodal token accounting over the extracted "
+    "main-content spans: text spans cost their word count, image spans "
+    f"cost ceil(w/{PATCH})*ceil(h/{PATCH}) ViT patches + {IMG_EXTRA} "
+    "sentinels, with (w, h) derived deterministically from media_ref "
+    "(production swaps in decoder metadata — same columns, same math). "
+    "image_token_share is the loader-side diagnostic every interleaved "
+    "mixing recipe watches (MM1: image tokens dominate compute, so the "
+    "text:image token ratio — not doc ratio — is the mixing knob). "
+    "Scale shape: the whole query is array higher-order functions "
+    "applied map-side — ZERO exchanges before the output sort (plan-"
+    "tested); a monster doc costs only its own row. All counts BIGINT-"
+    "exact; the share is one double division of exact operands.",
+    tags=("multimodal", "packing", "curation"),
+)
+def mm_token_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _costs_frame(spark, sf_dir)
+    return c.select(
+        "*",
+        (
+            F.col("patch_tokens").cast("double")
+            / (F.col("text_tokens") + F.col("patch_tokens"))
+        ).alias("image_token_share"),
+    ).orderBy("doc_id")
+
+
+_MM_PACK_SQL = f"""
+WITH {_EXTRACT_CTE},
+t AS (
+  SELECT doc_id, text_tokens + patch_tokens AS mm_tokens,
+         {phash60_sql("doc_id")} % {MM_PACK_BUCKETS} AS bucket
+  FROM costs
+),
+c AS (
+  SELECT doc_id, bucket, mm_tokens,
+         SUM(mm_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - mm_tokens AS start_offset
+  FROM t
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CAST(mm_tokens AS BIGINT) AS mm_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {MM_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST((start_offset + mm_tokens - 1) // {MM_SEQ_LEN}
+            - start_offset // {MM_SEQ_LEN} + 1 AS INT) AS n_seqs_spanned
+FROM c ORDER BY bucket, doc_id
+"""
+
+
+@register(
+    "multimodal_packing",
+    _MM_PACK_SQL,
+    doc=f"Training-sequence packing under the MULTIMODAL cost model: "
+    f"concatenate per-doc mm_tokens (text words + image patches) per "
+    f"hash bucket and split at {MM_SEQ_LEN}-token boundaries — the MM "
+    "twin of sequence_packing. The cost model is the point: one "
+    "hi-res image (~7k patches at 1280x1064) outweighs most documents' "
+    "text, so packing by word count would overfill sequences by an "
+    "image-share-sized factor. n_seqs_spanned flags docs crossing a "
+    "sequence boundary — the image-splitting hazard an interleaved "
+    "loader must mask or shift (Flamingo masks cross-image attention "
+    "at boundaries). Scale shape: identical to sequence_packing — the "
+    "prefix-sum window partitions by a construction-bounded hash "
+    f"bucket ({MM_PACK_BUCKETS} here; size buckets to ~64k docs at "
+    "100 TB, queries/_scale_notes.py), and the per-doc cost is itself "
+    "bounded (max resolution caps patches), so buckets stay balanced. "
+    "Integer arithmetic end to end.",
+    tags=("multimodal", "packing", "curation"),
+)
+def multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _costs_frame(spark, sf_dir).select(
+        "doc_id",
+        "mm_tokens",
+        (phash60(F.col("doc_id")) % MM_PACK_BUCKETS).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_offset", F.sum("mm_tokens").over(w) - F.col("mm_tokens"))
+    return c.select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("mm_tokens").cast("long").alias("mm_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.floor(F.col("start_offset") / F.lit(MM_SEQ_LEN)).cast("long").alias("seq_id"),
+        (
+            F.floor((F.col("start_offset") + F.col("mm_tokens") - 1) / F.lit(MM_SEQ_LEN))
+            - F.floor(F.col("start_offset") / F.lit(MM_SEQ_LEN))
+            + 1
+        )
+        .cast("int")
+        .alias("n_seqs_spanned"),
+    ).orderBy("bucket", "doc_id")
+
+
+# --- aspect-ratio bucketing ----------------------------------------------
+
+# Bucket selection: argmin over the ladder of |w/h - bw/bh|, computed
+# exactly. |w/h - bw_i/bh_i| < |w/h - bw_j/bh_j|
+#   <=> |w*bh_i - h*bw_i| / (h*bh_i) < |w*bh_j - h*bw_j| / (h*bh_j)
+#   <=> |w*bh_i - h*bw_i| * (144/bh_i) < |w*bh_j - h*bw_j| * (144/bh_j)
+# (h > 0 cancels; 144 = lcm of the bh values). Packing the bucket index
+# into the low 3 bits of the scaled score gives a single BIGINT argmin
+# with a deterministic smallest-index tie-break; scores are < 2^23 so
+# the *8 shift is exact.
+
+
+def _bucket_key_terms_sql(w: str, h: str) -> list[str]:
+    return [
+        f"(ABS(({w}) * {bh} - ({h}) * {bw}) * {wt} * 8 + {i})"
+        for i, ((_, bw, bh, _, _), wt) in enumerate(zip(ASPECT_LADDER, _WEIGHTS))
+    ]
+
+
+def _bucket_idx(w: Column, h: Column) -> Column:
+    keys = [
+        F.abs(w * bh - h * bw) * wt * 8 + i
+        for i, ((_, bw, bh, _, _), wt) in enumerate(zip(ASPECT_LADDER, _WEIGHTS))
+    ]
+    return (F.least(*keys) % 8).cast("int")
+
+
+_CANON_PATCHES = [
+    ((cw + PATCH - 1) // PATCH) * ((ch + PATCH - 1) // PATCH)
+    for _, _, _, cw, ch in ASPECT_LADDER
+]
+
+_BUCKET_CASE_SQL = {
+    col: "CASE idx "
+    + " ".join(
+        f"WHEN {i} THEN {val!r}" if isinstance(val, str) else f"WHEN {i} THEN {val}"
+        for i, val in enumerate(vals)
+    )
+    + " END"
+    for col, vals in {
+        "bucket_name": [n for n, *_ in ASPECT_LADDER],
+        "bw": [bw for _, bw, *_ in ASPECT_LADDER],
+        "bh": [bh for _, _, bh, *_ in ASPECT_LADDER],
+        "canon_w": [cw for *_, cw, _ in ASPECT_LADDER],
+        "canon_h": [ch for *_, ch in ASPECT_LADDER],
+        "canon_patches": _CANON_PATCHES,
+    }.items()
+}
+
+_RES_BUCKET_SQL = f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_SPANS_SQL} AS spans
+  FROM documents
+),
+imgs AS (
+  SELECT s.media_ref AS media_ref,
+         {_img_w_sql("s.media_ref")} AS w,
+         {_img_h_sql("s.media_ref")} AS h
+  FROM docs, UNNEST(list_filter(spans, s -> s.kind = 'image')) AS u(s)
+),
+keyed AS (
+  SELECT media_ref, w, h,
+         CAST(LEAST({", ".join(_bucket_key_terms_sql("w", "h"))}) % 8 AS INT) AS idx,
+         {_patches_sql("w", "h")} AS native_patches
+  FROM imgs
+)
+SELECT CAST(idx AS INT) AS idx,
+       {_BUCKET_CASE_SQL["bucket_name"]} AS bucket_name,
+       CAST({_BUCKET_CASE_SQL["bw"]} AS INT) AS bw,
+       CAST({_BUCKET_CASE_SQL["bh"]} AS INT) AS bh,
+       CAST({_BUCKET_CASE_SQL["canon_w"]} AS INT) AS canon_w,
+       CAST({_BUCKET_CASE_SQL["canon_h"]} AS INT) AS canon_h,
+       COUNT(*) AS n_images,
+       CAST(SUM(native_patches) AS BIGINT) AS total_native_patches,
+       CAST(COUNT(*) * {_BUCKET_CASE_SQL["canon_patches"]} AS BIGINT)
+         AS total_canonical_patches,
+       CAST(SUM(native_patches) AS DOUBLE) / COUNT(*) AS mean_native_patches
+FROM keyed
+GROUP BY idx
+ORDER BY idx
+"""
+
+
+@register(
+    "resolution_bucketing",
+    _RES_BUCKET_SQL,
+    doc="NaViT/SDXL-style aspect-ratio bucketing for variable-"
+    "resolution image batching: every image is assigned the nearest of "
+    f"{len(ASPECT_LADDER)} canonical aspect buckets "
+    f"({', '.join(n for n, *_ in ASPECT_LADDER)}) so a batch resizes "
+    "to ONE canonical resolution (no padding waste, no distortion "
+    "beyond the bucket quantum). Nearest-aspect is an EXACT integer "
+    "argmin — |w/h - bw/bh| compared via cross-multiplication with a "
+    "common denominator (lcm of the bh values), never a float "
+    "log-ratio, so the assignment is bit-stable cross-engine; the "
+    "bucket index rides the low 3 bits of the scaled score for a "
+    "single-BIGINT argmin with smallest-index tie-break. Scale shape: "
+    "geometry and assignment are map-side expressions off the span "
+    "array (one Generate, no join), and the rollup is a map-side-"
+    "combined groupBy onto a 5-row key space — scan-bound at 100 TB.",
+    tags=("multimodal", "packing", "layout"),
+)
+def resolution_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = interleaved_docs(spark, sf_dir)
+    imgs = docs.select(
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "image")
+        ).alias("s")
+    ).select(F.col("s.media_ref").alias("media_ref"))
+    keyed = imgs.select(
+        "media_ref",
+        _img_w(F.col("media_ref")).alias("w"),
+        _img_h(F.col("media_ref")).alias("h"),
+    ).select(
+        "media_ref",
+        "w",
+        "h",
+        _bucket_idx(F.col("w"), F.col("h")).alias("idx"),
+        _patches(F.col("w"), F.col("h")).alias("native_patches"),
+    )
+
+    def by_idx(vals, cast: str) -> Column:
+        expr: Column = F.lit(None)
+        for i, v in enumerate(vals):
+            expr = F.when(F.col("idx") == i, F.lit(v)).otherwise(expr)
+        return expr.cast(cast)
+
+    names = [n for n, *_ in ASPECT_LADDER]
+    bws = [bw for _, bw, *_ in ASPECT_LADDER]
+    bhs = [bh for _, _, bh, *_ in ASPECT_LADDER]
+    cws = [cw for *_, cw, _ in ASPECT_LADDER]
+    chs = [ch for *_, ch in ASPECT_LADDER]
+    return (
+        keyed.groupBy("idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("native_patches").alias("total_native_patches"),
+        )
+        .select(
+            F.col("idx").cast("int").alias("idx"),
+            by_idx(names, "string").alias("bucket_name"),
+            by_idx(bws, "int").alias("bw"),
+            by_idx(bhs, "int").alias("bh"),
+            by_idx(cws, "int").alias("canon_w"),
+            by_idx(chs, "int").alias("canon_h"),
+            F.col("n_images").cast("long").alias("n_images"),
+            F.col("total_native_patches").cast("long").alias("total_native_patches"),
+            (F.col("n_images") * by_idx(_CANON_PATCHES, "long"))
+            .cast("long")
+            .alias("total_canonical_patches"),
+            (
+                F.col("total_native_patches").cast("double")
+                / F.col("n_images").cast("double")
+            ).alias("mean_native_patches"),
+        )
+        .orderBy("idx")
+    )
