@@ -83,6 +83,7 @@ HEADLINE = [
     "caption_candidates",
     "mm_token_costs",
     "multimodal_packing",
+    "mm_seq_manifest",
     "resolution_bucketing",
     "snapshot_drift",
     "extracted_dedup_groups",

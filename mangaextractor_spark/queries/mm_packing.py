@@ -300,6 +300,202 @@ def multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket", "doc_id")
 
 
+# --- per-sequence manifest with boundary-split image accounting ----------
+
+_SPAN_COSTS_CTE = f"""
+spansc AS (
+  SELECT doc_id, list_transform(sv, s -> struct_pack(
+           kind := s.kind,
+           cost := CASE WHEN s.kind = 'image'
+                        THEN {_patches_sql(_img_w_sql("s.media_ref"), _img_h_sql("s.media_ref"))}
+                             + {IMG_EXTRA}
+                        ELSE CAST(len({WORDS_SQL.format(t="s.text")}) AS BIGINT)
+                   END)) AS sc
+  FROM surv
+),
+t AS (
+  SELECT doc_id, sc,
+         CAST(COALESCE(list_sum(list_transform(sc, x -> x.cost)), 0) AS BIGINT)
+           AS mm_tokens,
+         {phash60_sql("doc_id")} % {MM_PACK_BUCKETS} AS bucket
+  FROM spansc
+),
+c AS (
+  SELECT doc_id, sc, bucket, mm_tokens,
+         CAST(SUM(mm_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - mm_tokens
+              AS BIGINT) AS start_offset
+  FROM t
+)
+"""
+
+_MM_MANIFEST_SQL = f"""
+WITH {_EXTRACT_CTE.rstrip()},
+{_SPAN_COSTS_CTE.strip().rstrip()},
+fills AS (
+  SELECT bucket, seq_id,
+         COUNT(*) AS n_docs,
+         SUM(LEAST((seq_id + 1) * {MM_SEQ_LEN}, start_offset + mm_tokens)
+             - GREATEST(seq_id * {MM_SEQ_LEN}, start_offset)) AS tokens_filled
+  FROM c, UNNEST(generate_series(start_offset // {MM_SEQ_LEN},
+                                 (start_offset + mm_tokens - 1) // {MM_SEQ_LEN}))
+       AS g(seq_id)
+  GROUP BY bucket, seq_id
+),
+imgs AS (
+  SELECT bucket,
+         start_offset
+           + COALESCE(list_sum(list_transform(sc[1:i-1], x -> x.cost)), 0) AS gstart,
+         sc[i].cost AS block
+  FROM c, UNNEST(generate_series(1, len(sc))) AS u(i)
+  WHERE sc[i].kind = 'image'
+),
+imgg AS (
+  SELECT bucket, gstart // {MM_SEQ_LEN} AS seq_id,
+         COUNT(*) AS n_images,
+         SUM(CASE WHEN gstart // {MM_SEQ_LEN}
+                       <> (gstart + block - 1) // {MM_SEQ_LEN}
+                  THEN 1 ELSE 0 END) AS n_split_images
+  FROM imgs GROUP BY bucket, gstart // {MM_SEQ_LEN}
+)
+SELECT CAST(f.bucket AS INT) AS bucket,
+       CAST(f.seq_id AS BIGINT) AS seq_id,
+       CAST(f.n_docs AS BIGINT) AS n_docs,
+       CAST(f.tokens_filled AS BIGINT) AS tokens_filled,
+       CAST(f.tokens_filled AS DOUBLE) / {MM_SEQ_LEN} AS fill_ratio,
+       CAST(COALESCE(i.n_images, 0) AS BIGINT) AS n_images,
+       CAST(COALESCE(i.n_split_images, 0) AS BIGINT) AS n_split_images
+FROM fills f LEFT JOIN imgg i ON f.bucket = i.bucket AND f.seq_id = i.seq_id
+ORDER BY bucket, seq_id
+"""
+
+
+@register(
+    "mm_seq_manifest",
+    _MM_MANIFEST_SQL,
+    doc="Per-sequence loader manifest for multimodal packing, with "
+    "EXACT boundary-split accounting: for every (bucket, seq_id) the "
+    "docs resident, the tokens actually filled (documents crossing a "
+    f"boundary contribute their overlap with [seq*{MM_SEQ_LEN}, "
+    f"(seq+1)*{MM_SEQ_LEN}) — not their start), and the images whose "
+    "patch block STARTS in the sequence, splitting out n_split_images "
+    "— patch grids that cross a sequence boundary, which a training "
+    "loader must shift or attention-mask because half an image grid "
+    "is not a valid ViT input (the packing loaders in Flamingo/NaViT "
+    "re-slot such images). Image positions come from a within-doc "
+    "prefix over the span-cost array (array HOFs, map-side; O(k^2) in "
+    "spans-per-doc, k bounded by the doc's own span count). Scale "
+    "shape: the one prefix-sum window is the same construction-bounded "
+    "bucket partition as multimodal_packing; fills explode to one row "
+    "per doc-sequence overlap (<= 1 + mm_tokens/SEQ_LEN rows per doc, "
+    "cost-bounded); both rollups are map-side-combined groupBys on "
+    f"(bucket, seq_id) whose cardinality is total_tokens/{MM_SEQ_LEN} "
+    "— uniformly spread by construction, no skew exposure.",
+    tags=("multimodal", "packing", "curation"),
+)
+def mm_seq_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = interleaved_docs(spark, sf_dir)
+    surv = _survivors()
+    sc = F.transform(
+        surv,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(
+                s["kind"] == "image",
+                _patches(_img_w(s["media_ref"]), _img_h(s["media_ref"])) + IMG_EXTRA,
+            )
+            .otherwise(F.size(words_col(s["text"])).cast("long"))
+            .alias("cost"),
+        ),
+    )
+    t = docs.select(
+        "doc_id",
+        sc.alias("sc"),
+    ).select(
+        "doc_id",
+        "sc",
+        F.aggregate("sc", F.lit(0).cast("long"), lambda a, x: a + x["cost"]).alias(
+            "mm_tokens"
+        ),
+        (phash60(F.col("doc_id")) % MM_PACK_BUCKETS).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "start_offset", F.sum("mm_tokens").over(w) - F.col("mm_tokens")
+    ).persist()  # feeds fills AND imgs — one packing pass, not two
+
+    L = MM_SEQ_LEN
+    s0 = F.floor(F.col("start_offset") / L)
+    s1 = F.floor((F.col("start_offset") + F.col("mm_tokens") - 1) / L)
+    fills = (
+        c.select(
+            "bucket",
+            "start_offset",
+            "mm_tokens",
+            F.explode(F.sequence(s0, s1)).alias("seq_id"),
+        )
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.least(
+                    (F.col("seq_id") + 1) * L,
+                    F.col("start_offset") + F.col("mm_tokens"),
+                )
+                - F.greatest(F.col("seq_id") * L, F.col("start_offset"))
+            ).alias("tokens_filled"),
+        )
+    )
+    e = c.select(
+        "bucket", "start_offset", "sc", F.posexplode("sc").alias("i", "s")
+    ).filter(F.col("s.kind") == "image")
+    gstart = F.col("start_offset") + F.aggregate(
+        F.slice("sc", 1, F.col("i")), F.lit(0).cast("long"), lambda a, x: a + x["cost"]
+    )
+    imgs = e.select(
+        "bucket",
+        gstart.alias("gstart"),
+        F.col("s.cost").alias("block"),
+    )
+    imgg = (
+        imgs.select(
+            "bucket",
+            F.floor(F.col("gstart") / L).alias("seq_id"),
+            (
+                F.floor(F.col("gstart") / L)
+                != F.floor((F.col("gstart") + F.col("block") - 1) / L)
+            )
+            .cast("int")
+            .alias("split"),
+        )
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("split").alias("n_split_images"),
+        )
+    )
+    out = (
+        fills.join(imgg, ["bucket", "seq_id"], "left")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("tokens_filled").cast("long").alias("tokens_filled"),
+            (F.col("tokens_filled").cast("double") / L).alias("fill_ratio"),
+            F.coalesce(F.col("n_images"), F.lit(0)).cast("long").alias("n_images"),
+            F.coalesce(F.col("n_split_images"), F.lit(0))
+            .cast("long")
+            .alias("n_split_images"),
+        )
+        .orderBy("bucket", "seq_id")
+    )
+    return out
+
+
 # --- aspect-ratio bucketing ----------------------------------------------
 
 # Bucket selection: argmin over the ladder of |w/h - bw/bh|, computed

@@ -151,6 +151,29 @@ def test_resolution_rollup_consistency(spark, sf_small):
         assert r["total_canonical_patches"] == r["n_images"] * canon
 
 
+def test_seq_manifest_conservation_and_boundaries(spark, sf_small):
+    costs = _costs_frame(spark, sf_small).toPandas()
+    man = REGISTRY["mm_seq_manifest"].spark(spark, sf_small).toPandas()
+    # token conservation: every token lands in exactly one sequence
+    assert man["tokens_filled"].sum() == costs["mm_tokens"].sum()
+    # every image starts in exactly one sequence
+    assert man["n_images"].sum() == costs["n_images"].sum()
+    assert (man["n_split_images"] <= man["n_images"]).all()
+    # within a bucket, every sequence except the last is filled exactly
+    for _, g in man.groupby("bucket"):
+        last = g["seq_id"].max()
+        full = g[g["seq_id"] < last]
+        assert (full["tokens_filled"] == MM_SEQ_LEN).all()
+        assert (g[g["seq_id"] == last]["tokens_filled"] <= MM_SEQ_LEN).all()
+    # the packing assignment's start sequences all appear in the manifest
+    pack = REGISTRY["multimodal_packing"].spark(spark, sf_small).toPandas()
+    man_keys = set(zip(man["bucket"], man["seq_id"]))
+    assert set(zip(pack["bucket"], pack["seq_id"])) <= man_keys
+    # boundary splits exist on this corpus (images ~ 5-7k patches vs
+    # 8192-token sequences), so the diagnostic is exercised, not vacuous
+    assert man["n_split_images"].sum() > 0
+
+
 def test_geometry_is_deterministic(spark):
     """Same media_ref -> same (w, h) across sessions/plans (pure hash)."""
     df = spark.createDataFrame([("img/42/0",)], "media_ref string").select(
