@@ -61,24 +61,34 @@ def _tokenized(docs: DataFrame, n_buckets: int = PACK_BUCKETS) -> DataFrame:
     )
 
 
-def _pack_bucket(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    cursor = state.get[0] if state.exists else 0
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-    ends = pdf["n_tokens"].cumsum()
-    starts = cursor + ends.shift(fill_value=0)
-    state.update((int(cursor + int(ends.iloc[-1])) if len(pdf) else cursor,))
-    yield pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "bucket": key[0],
-            "n_tokens": pdf["n_tokens"],
-            "start_offset": starts.astype("int64"),
-            "seq_id": (starts // SEQ_LEN).astype("int64"),
-        }
-    )
+def _make_packer(seq_len: int):
+    """Cursor-state packer for a given sequence length; the token cost
+    column is whatever the upstream frame put in ``n_tokens`` (word
+    counts for the text twin, multimodal costs for the MM twin)."""
+
+    def _pack_bucket(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cursor = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        ends = pdf["n_tokens"].cumsum()
+        starts = cursor + ends.shift(fill_value=0)
+        state.update((int(cursor + int(ends.iloc[-1])) if len(pdf) else cursor,))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "bucket": key[0],
+                "n_tokens": pdf["n_tokens"],
+                "start_offset": starts.astype("int64"),
+                "seq_id": (starts // seq_len).astype("int64"),
+            }
+        )
+
+    return _pack_bucket
+
+
+_pack_bucket = _make_packer(SEQ_LEN)
 
 
 def stream_sequence_packing(
@@ -112,6 +122,70 @@ def stream_sequence_packing(
             return
         # idempotent per-batch overwrite: a replayed batch rewrites its
         # own directory (same discipline as streaming/ingest.py)
+        batch.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    writer = (
+        packed.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- multimodal twin ------------------------------------------------------
+
+MM_PACKED_SCHEMA = (
+    "doc_id string, bucket int, n_tokens long, start_offset long, seq_id long"
+)
+
+SPANS_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def stream_mm_packing(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    n_buckets: int | None = None,
+) -> StreamingQuery:
+    """Streaming twin of queries/mm_packing.multimodal_packing:
+    interleaved (doc_id, spans[]) documents landing as parquet are
+    packed under the MULTIMODAL cost model (text words + image patch
+    tokens + sentinels, the identical map-side expressions as the
+    batch operator via mm_costs_df), with the same one-cursor-row-per-
+    bucket GroupState as the text twin — only the cost frame and the
+    sequence length differ. Output column ``n_tokens`` carries the
+    multimodal cost (mm_tokens in the batch twin)."""
+    from ..queries.mm_packing import MM_PACK_BUCKETS, MM_SEQ_LEN, mm_costs_df
+
+    buckets = n_buckets or MM_PACK_BUCKETS
+    reader = spark.readStream.schema(SPANS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(docs_dir)
+    frame = mm_costs_df(docs).select(
+        "doc_id",
+        F.col("mm_tokens").cast("long").alias("n_tokens"),
+        (phash60(F.col("doc_id")) % buckets).cast("int").alias("bucket"),
+    )
+    packed: Any = frame.groupBy("bucket").applyInPandasWithState(
+        _make_packer(MM_SEQ_LEN),
+        MM_PACKED_SCHEMA,
+        _CURSOR_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
         batch.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     writer = (
