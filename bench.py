@@ -85,6 +85,7 @@ HEADLINE = [
     "multimodal_packing",
     "mm_seq_manifest",
     "resolution_bucketing",
+    "mm_epoch_mixture",
     "snapshot_drift",
     "extracted_dedup_groups",
     "chunk_spans",

@@ -49,7 +49,7 @@ from ..functions.html import html_main_sql, html_main_text
 from ..session import load_table, spread
 from . import register
 from ._portable import WORDS_SQL, phash60, phash60_sql, words_col
-from .main_content import _SPANS_SQL, interleaved_docs
+from .main_content import _SPANS_SQL, _spans_col, interleaved_docs
 
 # --- deterministic image geometry & cost model ---------------------------
 
@@ -125,11 +125,12 @@ def _survivors() -> Column:
     return F.filter(extracted, lambda s: (s["text"] != "") | (s["kind"] == "image"))
 
 
-def mm_costs_df(docs: DataFrame) -> DataFrame:
+def mm_costs_df(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, spans[]) -> (doc_id, n_text_spans, n_images,
     text_tokens, patch_tokens, mm_tokens) over any north_rule-shaped
     frame — entirely map-side (zero Exchange/Window; plan-tested), the
-    accounting twin of main_content_spans_df."""
+    accounting twin of main_content_spans_df. ``passthrough`` columns
+    ride along unchanged (same contract as main_content_spans_df)."""
     surv = _survivors()
     texts = F.filter(surv, lambda s: s["kind"] == "text")
     imgs = F.filter(surv, lambda s: s["kind"] == "image")
@@ -147,6 +148,7 @@ def mm_costs_df(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *passthrough,
         F.size(texts).cast("int").alias("n_text_spans"),
         F.size(imgs).cast("int").alias("n_images"),
         text_tokens.alias("text_tokens"),
@@ -159,13 +161,17 @@ def _costs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_costs_df(interleaved_docs(spark, sf_dir))
 
 
-_EXTRACT_CTE = f"""
+def _extract_cte(extra: str = "") -> str:
+    """The shared docs -> surv -> costs oracle pipeline; ``extra`` is a
+    comma-led column list (e.g. ", source") threaded through every
+    stage — the SQL twin of mm_costs_df's ``passthrough``."""
+    return f"""
 docs AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_SPANS_SQL} AS spans
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id{extra}, {_SPANS_SQL} AS spans
   FROM documents
 ),
 surv AS (
-  SELECT doc_id,
+  SELECT doc_id{extra},
          list_filter(
            list_transform(spans, s -> struct_pack(
              kind := CASE WHEN s.kind = 'image' THEN 'image' ELSE 'text' END,
@@ -177,7 +183,7 @@ surv AS (
   FROM docs
 ),
 costs AS (
-  SELECT doc_id,
+  SELECT doc_id{extra},
          CAST(len(list_filter(sv, s -> s.kind = 'text')) AS INT) AS n_text_spans,
          CAST(len(list_filter(sv, s -> s.kind = 'image')) AS INT) AS n_images,
          CAST(COALESCE(list_sum(list_transform(
@@ -190,6 +196,9 @@ costs AS (
   FROM surv
 )
 """
+
+
+_EXTRACT_CTE = _extract_cte()
 
 _MM_COSTS_SQL = f"""
 WITH {_EXTRACT_CTE}
@@ -652,4 +661,114 @@ def resolution_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_native_patches"),
         )
         .orderBy("idx")
+    )
+
+
+# --- multimodal epoch mixture --------------------------------------------
+
+# Muennighoff et al. 2023's data-constrained repeat schedule, priced in
+# MULTIMODAL tokens: an interleaved training budget is consumed by
+# sequence tokens (text words + image patches), so an image-heavy
+# source exhausts its supply in fewer documents and must repeat
+# earlier. Same alpha=0.5 temperature rule and BUDGET_EPOCHS as
+# maintenance.epoch_mixture_plan — only the cost basis changes.
+MM_BUDGET_EPOCHS = 2
+MM_TEMP_SCALE = 1_000_000
+
+_MM_MIX_SQL = f"""
+WITH {_extract_cte(", source").strip()},
+c AS (
+  SELECT source,
+         CAST(SUM(text_tokens + patch_tokens) AS BIGINT) AS mm_avail,
+         CAST(SUM(text_tokens) AS BIGINT) AS text_tokens,
+         CAST(SUM(patch_tokens) AS BIGINT) AS patch_tokens
+  FROM costs GROUP BY source
+),
+w AS (
+  SELECT c.*,
+         CAST(FLOOR(SQRT(CAST(mm_avail AS DOUBLE)) * {MM_TEMP_SCALE}) AS BIGINT)
+           AS w_e6
+  FROM c
+),
+t AS (
+  SELECT CAST(SUM(w_e6) AS BIGINT) AS tot_w,
+         CAST(SUM(mm_avail) AS BIGINT) AS tot_toks
+  FROM w
+)
+SELECT w.source, w.mm_avail, w.text_tokens, w.patch_tokens,
+       CAST(w.patch_tokens AS DOUBLE) / w.mm_avail AS image_token_share,
+       w.w_e6,
+       ({MM_BUDGET_EPOCHS} * t.tot_toks * w.w_e6) // t.tot_w AS requested_tokens,
+       (({MM_BUDGET_EPOCHS} * t.tot_toks * w.w_e6) // t.tot_w + w.mm_avail - 1)
+         // w.mm_avail AS epochs,
+       CAST(({MM_BUDGET_EPOCHS} * t.tot_toks * w.w_e6) // t.tot_w AS DOUBLE)
+         / CAST(w.mm_avail AS DOUBLE) AS repeat_factor
+FROM w CROSS JOIN t
+ORDER BY w.source
+"""
+
+
+@register(
+    "mm_epoch_mixture",
+    _MM_MIX_SQL,
+    doc="Data-constrained repeat schedule (Muennighoff et al. 2023) "
+    "priced in MULTIMODAL tokens: per source, the mm-token supply "
+    "(text words + image patch tokens over the extracted interleaved "
+    "spans), its image_token_share, the alpha=0.5 temperature weight "
+    f"floor(sqrt(mm_tokens)*1e6), the allocation a {MM_BUDGET_EPOCHS}x"
+    "-corpus budget requests, and the whole-epoch repeat count. The "
+    "mm cost basis is the point (MM1: image tokens dominate compute): "
+    "under word-count supply an image-heavy source looks small and "
+    "gets a small weight, then its actual sequence output overruns "
+    "the budget by its patch share — pricing supply in mm tokens "
+    "makes allocation and consumption the same unit. Exactness and "
+    "scale shape identical to epoch_mixture_plan: one corpus scan "
+    "into a map-side-combined per-source SUM, sqrt as the single "
+    "IEEE double op, BIGINT floor/ceiling allocation, the weight "
+    "table localCheckpointed once and crossed with a 1-row broadcast "
+    "total — zero shuffle after the scan.",
+    tags=("multimodal", "pipeline", "sampling"),
+)
+def mm_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        _spans_col().alias("spans"),
+    )
+    costs = mm_costs_df(docs, passthrough=("source",))
+    c = costs.groupBy("source").agg(
+        F.sum("mm_tokens").cast("long").alias("mm_avail"),
+        F.sum("text_tokens").cast("long").alias("text_tokens"),
+        F.sum("patch_tokens").cast("long").alias("patch_tokens"),
+    )
+    w = c.select(
+        "*",
+        F.floor(F.sqrt(F.col("mm_avail").cast("double")) * MM_TEMP_SCALE)
+        .cast("long")
+        .alias("w_e6"),
+    ).localCheckpoint()  # |sources| rows; one corpus scan feeds both branches
+    tot = w.agg(
+        F.sum("w_e6").cast("long").alias("tot_w"),
+        F.sum("mm_avail").cast("long").alias("tot_toks"),
+    )
+    req = f"({MM_BUDGET_EPOCHS} * tot_toks * w_e6) DIV tot_w"
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "mm_avail",
+            "text_tokens",
+            "patch_tokens",
+            (
+                F.col("patch_tokens").cast("double") / F.col("mm_avail")
+            ).alias("image_token_share"),
+            "w_e6",
+            F.expr(req).alias("requested_tokens"),
+            F.expr(f"({req} + mm_avail - 1) DIV mm_avail").alias("epochs"),
+            (F.expr(req).cast("double") / F.col("mm_avail").cast("double")).alias(
+                "repeat_factor"
+            ),
+        )
+        .orderBy("source")
     )

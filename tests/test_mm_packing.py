@@ -183,3 +183,25 @@ def test_geometry_is_deterministic(spark):
     b = df.collect()[0]
     assert (a.w, a.h) == (b.w, b.h)
     assert 224 <= a.w <= 1280 and 224 <= a.h <= 1064
+
+
+def test_mm_epoch_mixture_invariants(spark, sf_small):
+    from mangaextractor_spark.queries.mm_packing import MM_BUDGET_EPOCHS
+
+    pdf = REGISTRY["mm_epoch_mixture"].spark(spark, sf_small).toPandas()
+    costs = _costs_frame(spark, sf_small).toPandas()
+    # supply conservation vs the per-doc frame (source-blind total)
+    assert pdf["mm_avail"].sum() == costs["mm_tokens"].sum()
+    assert (pdf["mm_avail"] == pdf["text_tokens"] + pdf["patch_tokens"]).all()
+    # allocations serve the whole budget up to per-source floor loss (one floor division per source)
+    budget = MM_BUDGET_EPOCHS * pdf["mm_avail"].sum()
+    assert budget - len(pdf) < pdf["requested_tokens"].sum() <= budget
+    # epochs is the ceiling of the repeat factor
+    import numpy as np
+
+    assert (
+        pdf["epochs"]
+        == -(-pdf["requested_tokens"] // pdf["mm_avail"])
+    ).all()
+    assert (pdf["repeat_factor"] <= pdf["epochs"]).all()
+    assert pdf["image_token_share"].between(0, 1).all()
