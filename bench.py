@@ -86,6 +86,8 @@ HEADLINE = [
     "mm_seq_manifest",
     "resolution_bucketing",
     "mm_epoch_mixture",
+    "html_table_extract",
+    "html_link_graph",
     "snapshot_drift",
     "extracted_dedup_groups",
     "chunk_spans",

@@ -222,3 +222,213 @@ def dom_density_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).alias("n_kept"),
         F.array_join(F.transform(kept, lambda s: s["text"]), " ").alias("main_text"),
     ).orderBy("doc_id")
+
+
+# --- DOM structure extraction: tables and the link graph ------------------
+#
+# The two remaining DOM-heuristic shapes a web-extraction stack ships
+# beyond boilerplate strip: structured <table> recovery (tabular-corpus
+# curation reads tables out of pages as relational rows) and the
+# host-level link graph (the crawler frontier / spam-rank substrate).
+# Both fixtures are built deterministically from `documents` in BOTH
+# engines, like _HTML_SQL above; both extractors are regexp_extract_all
+# pulls in the Java-regex ∩ RE2 subset, map-side except the final
+# rollup.
+
+_TR_RE = r"(?is)<tr[^>]*>(.*?)</tr\s*>"
+_CELL_RE = r"(?is)<t[dh][^>]*>(.*?)</t[dh]\s*>"
+_HREF_RE = r'(?is)<a\b[^>]*href="([^"]*)"'
+_DOMAIN_RE = r"^https?://([^/]+)"
+
+_TABLE_HTML_SQL = (
+    "'<html><body><nav>NAVJUNK</nav><table class=\"meta\">"
+    "<tr><th> lang </th><th> source </th><th> chars </th></tr>"
+    "<tr><td>' || lang || '</td><td>' || source || '</td><td> ' || "
+    "CAST(n_chars AS VARCHAR) || ' </td></tr>"
+    "</table><p>not a cell</p></body></html>'"
+)
+
+
+def _table_html_col() -> F.Column:
+    return F.concat(
+        F.lit('<html><body><nav>NAVJUNK</nav><table class="meta">'),
+        F.lit("<tr><th> lang </th><th> source </th><th> chars </th></tr>"),
+        F.lit("<tr><td>"),
+        F.col("lang"),
+        F.lit("</td><td>"),
+        F.col("source"),
+        F.lit("</td><td> "),
+        F.col("n_chars").cast("string"),
+        F.lit(" </td></tr></table><p>not a cell</p></body></html>"),
+    )
+
+
+@register(
+    "html_table_extract",
+    f"""
+    WITH pages AS (SELECT doc_id, {_TABLE_HTML_SQL} AS html FROM documents),
+    rows_x AS (
+      SELECT doc_id, i - 1 AS row_idx,
+             regexp_extract_all(html, '{_TR_RE}', 1)[i] AS row_html
+      FROM pages,
+           UNNEST(generate_series(1, len(regexp_extract_all(html, '{_TR_RE}', 1))))
+             AS r(i)
+    ),
+    cells AS (
+      SELECT doc_id, row_idx, i - 1 AS col_idx,
+             TRIM(regexp_extract_all(row_html, '{_CELL_RE}', 1)[i]) AS cell_text
+      FROM rows_x,
+           UNNEST(generate_series(1, len(regexp_extract_all(row_html, '{_CELL_RE}', 1))))
+             AS c(i)
+    )
+    SELECT doc_id, CAST(row_idx AS INT) AS row_idx,
+           CAST(col_idx AS INT) AS col_idx, cell_text
+    FROM cells ORDER BY doc_id, row_idx, col_idx
+    """,
+    doc="Structured <table> recovery from HTML pages — the tabular-"
+    "corpus extraction op: every <tr> row in document order, every "
+    "<td>/<th> cell per row in column order, trimmed, as relational "
+    "(doc_id, row_idx, col_idx, cell_text) rows. The fixture plants a "
+    "header row + a data row built from the doc's own columns plus "
+    "decoy non-table markup that must NOT match. Both extractions are "
+    "regexp_extract_all in the Java∩RE2 subset, applied map-side with "
+    "two ordinal explodes (Generate) — one scan, zero shuffle before "
+    "the output sort; a monster page costs only its own row. At "
+    "production scale nested tables route to an Arrow kernel stage "
+    "like the image ladder (documented non-nested scope, same as the "
+    "boilerplate stripper).",
+    tags=("text", "extract", "dom"),
+)
+def html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pages = d.select("doc_id", _table_html_col().alias("html"))
+    rows = pages.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all("html", F.lit(_TR_RE), F.lit(1))).alias(
+            "row_idx", "row_html"
+        ),
+    )
+    cells = rows.select(
+        "doc_id",
+        "row_idx",
+        F.posexplode(
+            F.regexp_extract_all("row_html", F.lit(_CELL_RE), F.lit(1))
+        ).alias("col_idx", "cell"),
+    )
+    return cells.select(
+        "doc_id",
+        F.col("row_idx").cast("int").alias("row_idx"),
+        F.col("col_idx").cast("int").alias("col_idx"),
+        F.trim(F.col("cell")).alias("cell_text"),
+    ).orderBy("doc_id", "row_idx", "col_idx")
+
+
+# Link fixture: each page lives on its own host (doc_id mod 7) and
+# links to two hash-derived hosts (decorrelated from the page's own),
+# plus one relative link that must NOT produce an edge.
+_N_HOSTS = 7
+_SRC_DOM_SQL = "'site' || CAST(doc_id % 7 AS VARCHAR) || '.example'"
+_DST1_SQL = (
+    "'site' || CAST(TRY_CAST('0x' || SUBSTR(md5('l1:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 7 AS VARCHAR) || '.example'"
+)
+_DST2_SQL = (
+    "'site' || CAST(TRY_CAST('0x' || SUBSTR(md5('l2:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 7 AS VARCHAR) || '.example'"
+)
+
+_LINK_HTML_SQL = (
+    "'<html><body>"
+    "<a href=\"https://' || " + _DST1_SQL + " || '/p/' || CAST(doc_id AS VARCHAR) || '\">x</a>"
+    "<a href=\"/relative/ignored\">rel</a>"
+    "<a href=\"https://' || " + _DST2_SQL + " || '/q\">y</a>"
+    "</body></html>'"
+)
+
+
+def _link_html_col() -> F.Column:
+    from ._portable import phash60
+
+    def dst(salt: str) -> F.Column:
+        return F.concat(
+            F.lit("site"),
+            (phash60(F.concat(F.lit(salt), F.col("doc_id").cast("string"))) % _N_HOSTS)
+            .cast("string"),
+            F.lit(".example"),
+        )
+
+    return F.concat(
+        F.lit('<html><body><a href="https://'),
+        dst("l1:"),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">x</a><a href="/relative/ignored">rel</a><a href="https://'),
+        dst("l2:"),
+        F.lit('/q">y</a></body></html>'),
+    )
+
+
+@register(
+    "html_link_graph",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_SRC_DOM_SQL} AS src_domain, {_LINK_HTML_SQL} AS html
+      FROM documents
+    ),
+    hrefs AS (
+      SELECT doc_id, src_domain, u.url
+      FROM pages, UNNEST(regexp_extract_all(html, '{_HREF_RE}', 1)) AS u(url)
+    ),
+    edges AS (
+      SELECT doc_id, src_domain,
+             regexp_extract(url, '{_DOMAIN_RE}', 1) AS dst_domain
+      FROM hrefs
+      WHERE regexp_extract(url, '{_DOMAIN_RE}', 1) <> ''
+    )
+    SELECT src_domain, dst_domain,
+           COUNT(*) AS n_links,
+           COUNT(DISTINCT doc_id) AS n_pages
+    FROM edges GROUP BY src_domain, dst_domain
+    ORDER BY src_domain, dst_domain
+    """,
+    doc="Host-level link-graph extraction — the crawler-frontier / "
+    "spam-rank substrate: absolute hrefs pulled from each page "
+    "(regexp_extract_all, map-side), reduced to domains, rolled up to "
+    "(src_domain, dst_domain) edges with link and distinct-page "
+    "counts. Relative links are dropped at the domain parse (the "
+    "fixture plants one that must NOT edge). Scale shape: one scan, "
+    "one Generate, one map-side-combined groupBy on the domain-pair "
+    "key — bounded by the host vocabulary squared in the worst case, "
+    "with hot hosts (a hub domain) arriving as hot JOIN-free GROUP "
+    "keys AQE skew-splits; the two-level COUNT(DISTINCT doc_id) is "
+    "Spark's standard partial-distinct expansion, no corpus window. "
+    "Feeds near_dup_pagerank's integer PageRank for host ranking.",
+    tags=("text", "extract", "dom", "graph"),
+)
+def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % _N_HOSTS).cast("string"), F.lit(".example")
+        ).alias("src_domain"),
+        _link_html_col().alias("html"),
+    )
+    hrefs = pages.select(
+        "doc_id",
+        "src_domain",
+        F.explode(F.regexp_extract_all("html", F.lit(_HREF_RE), F.lit(1))).alias("url"),
+    )
+    edges = hrefs.select(
+        "doc_id",
+        "src_domain",
+        F.regexp_extract("url", _DOMAIN_RE, 1).alias("dst_domain"),
+    ).filter(F.col("dst_domain") != "")
+    return (
+        edges.groupBy("src_domain", "dst_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_pages"),
+        )
+        .orderBy("src_domain", "dst_domain")
+    )

@@ -137,3 +137,39 @@ def test_dom_density_oracle_null_trap(spark):
         got_o = [(x["text_len"], x["link_len"]) for x in orow]
         assert got_s == got_o
         assert all(v is not None for pair in got_o for v in pair)
+
+
+def test_html_table_extract_semantics(spark, sf_small):
+    from mangaextractor_spark.queries import REGISTRY
+
+    pdf = REGISTRY["html_table_extract"].spark(spark, sf_small).toPandas()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    # exactly 2 rows x 3 cols per document; the <p> decoy never matches
+    assert len(pdf) == 6 * len(docs)
+    per = pdf.groupby("doc_id").size()
+    assert (per == 6).all()
+    hdr = pdf[pdf["row_idx"] == 0].sort_values(["doc_id", "col_idx"])
+    assert set(map(tuple, hdr.groupby("doc_id")["cell_text"].apply(list))) == {
+        ("lang", "source", "chars")
+    }
+    # data row round-trips the doc's own columns (incl. whitespace trim)
+    data = pdf[pdf["row_idx"] == 1].pivot(
+        index="doc_id", columns="col_idx", values="cell_text"
+    )
+    docs = docs.set_index("doc_id")
+    assert (data[0] == docs["lang"]).all()
+    assert (data[1] == docs["source"]).all()
+    assert (data[2] == docs["n_chars"].astype(str)).all()
+
+
+def test_html_link_graph_semantics(spark, sf_small):
+    from mangaextractor_spark.queries import REGISTRY
+
+    pdf = REGISTRY["html_link_graph"].spark(spark, sf_small).toPandas()
+    n_docs = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    # 2 absolute links per page edge into the rollup; the relative link never does
+    assert pdf["n_links"].sum() == 2 * n_docs
+    doms = {f"site{i}.example" for i in range(7)}
+    assert set(pdf["src_domain"]) <= doms and set(pdf["dst_domain"]) <= doms
+    assert (pdf["n_pages"] <= pdf["n_links"]).all()
+    assert (pdf["n_pages"] >= 1).all()
