@@ -88,6 +88,7 @@ HEADLINE = [
     "mm_epoch_mixture",
     "html_table_extract",
     "html_link_graph",
+    "host_rank",
     "snapshot_drift",
     "extracted_dedup_groups",
     "chunk_spans",

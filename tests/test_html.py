@@ -173,3 +173,27 @@ def test_html_link_graph_semantics(spark, sf_small):
     assert set(pdf["src_domain"]) <= doms and set(pdf["dst_domain"]) <= doms
     assert (pdf["n_pages"] <= pdf["n_links"]).all()
     assert (pdf["n_pages"] >= 1).all()
+
+
+def test_host_rank_matches_integer_recompute(spark, sf_small):
+    from mangaextractor_spark.queries import REGISTRY
+    from mangaextractor_spark.queries.html_queries import HOST_PR_ITERS
+
+    lg = REGISTRY["html_link_graph"].spark(spark, sf_small).toPandas()
+    got = REGISTRY["host_rank"].spark(spark, sf_small).toPandas()
+
+    hosts = sorted(set(lg["src_domain"]) | set(lg["dst_domain"]))
+    outw = {h: 0 for h in hosts}
+    for _, r in lg.iterrows():
+        outw[r["src_domain"]] += int(r["n_links"])
+    pr = {h: 1_000_000 for h in hosts}
+    for _ in range(HOST_PR_ITERS):
+        s = {h: 0 for h in hosts}
+        for _, r in lg.iterrows():
+            src, dst, w = r["src_domain"], r["dst_domain"], int(r["n_links"])
+            if outw[src] > 0:
+                s[dst] += (pr[src] * w) // outw[src]
+        pr = {h: 150_000 + (850 * s[h]) // 1000 for h in hosts}
+
+    want = sorted(((h, outw[h], pr[h]) for h in hosts), key=lambda t: (-t[2], t[0]))
+    assert list(map(tuple, got[["host", "outw", "pr"]].values.tolist())) == want
