@@ -89,6 +89,7 @@ HEADLINE = [
     "html_table_extract",
     "html_link_graph",
     "host_rank",
+    "robots_gate",
     "snapshot_drift",
     "extracted_dedup_groups",
     "chunk_spans",

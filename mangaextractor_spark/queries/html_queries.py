@@ -559,3 +559,106 @@ def host_rank(spark: SparkSession, sf_dir: str, iters: int = HOST_PR_ITERS) -> D
             .localCheckpoint()
         )
     return ranks.orderBy(F.desc("pr"), "host")
+
+
+# --- robots compliance gate -----------------------------------------------
+
+# Per-host Disallow rules, derived deterministically (no external
+# data): even-numbered hosts disallow the '/p/' section; every host
+# carries an '/admin/' rule no fixture URL matches (the decoy that
+# proves the gate only blocks on a real prefix hit). Pages: each doc
+# lives at /p/<id> (doc_id % 3 = 0) or /q/<id> on its own host.
+
+_ROBOTS_RULES = [
+    (f"site{i}.example", prefix)
+    for i in range(_N_HOSTS)
+    for prefix in ((["/p/"] if i % 2 == 0 else []) + ["/admin/"])
+]
+
+_ROBOTS_RULES_SQL = "VALUES " + ", ".join(
+    f"('{h}', '{p}')" for h, p in _ROBOTS_RULES
+)
+
+_PAGE_URL_SQL = (
+    "'https://' || " + _SRC_DOM_SQL + " || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/p/' ELSE '/q/' END || CAST(doc_id AS VARCHAR)"
+)
+
+
+@register(
+    "robots_gate",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_SRC_DOM_SQL} AS host, {_PAGE_URL_SQL} AS url
+      FROM documents
+    ),
+    rules(host, prefix) AS ({_ROBOTS_RULES_SQL}),
+    gated AS (
+      SELECT p.doc_id, p.host,
+             MAX(CASE WHEN starts_with(
+                   SUBSTR(p.url, 9 + LENGTH(p.host)), r.prefix)
+                 THEN 1 ELSE 0 END) AS blocked
+      FROM pages p JOIN rules r ON r.host = p.host
+      GROUP BY p.doc_id, p.host
+    )
+    SELECT host,
+           COUNT(*) AS n_pages,
+           CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+           CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS n_kept,
+           CAST(SUM(blocked) AS DOUBLE) / COUNT(*) AS block_rate
+    FROM gated GROUP BY host ORDER BY host
+    """,
+    doc="robots.txt compliance gate — the crawl-side filter every "
+    "corpus ingest runs before a page is fetched/kept: per-host "
+    "Disallow prefix rules applied to each page's URL path, rolled up "
+    "to per-host blocked/kept counts. The rule table is a constant "
+    "broadcast (a real robots set is hosts x few rules — orders "
+    "smaller than the page corpus), the path test is starts_with on "
+    "the URL with the scheme+host prefix stripped by LENGTH "
+    "arithmetic (no regex needed), and the per-page verdict is a "
+    "map-side-combined MAX over that page's rules — one scan, one "
+    "broadcast join, one groupBy; a host with a billion pages is a "
+    "hot GROUP key AQE splits, never a window. The '/admin/' decoy "
+    "rule on every host proves the gate blocks only on real prefix "
+    "hits.",
+    tags=("text", "extract", "curation"),
+)
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % _N_HOSTS).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % _N_HOSTS).cast("string"),
+            F.lit(".example"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/p/")).otherwise(F.lit("/q/")),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(_ROBOTS_RULES, "host string, prefix string")
+    path = F.expr("SUBSTR(url, 9 + LENGTH(host))")
+    gated = (
+        pages.join(F.broadcast(rules), "host")
+        .select(
+            "doc_id",
+            "host",
+            F.when(F.startswith(path, F.col("prefix")), 1).otherwise(0).alias("hit"),
+        )
+        .groupBy("doc_id", "host")
+        .agg(F.max("hit").alias("blocked"))
+    )
+    return (
+        gated.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("blocked").cast("long").alias("n_blocked"),
+            (F.count(F.lit(1)) - F.sum("blocked")).cast("long").alias("n_kept"),
+            (
+                F.sum("blocked").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("block_rate"),
+        )
+        .orderBy("host")
+    )

@@ -197,3 +197,21 @@ def test_host_rank_matches_integer_recompute(spark, sf_small):
 
     want = sorted(((h, outw[h], pr[h]) for h in hosts), key=lambda t: (-t[2], t[0]))
     assert list(map(tuple, got[["host", "outw", "pr"]].values.tolist())) == want
+
+
+def test_robots_gate_semantics(spark, sf_small):
+    from mangaextractor_spark.queries import REGISTRY
+
+    pdf = REGISTRY["robots_gate"].spark(spark, sf_small).toPandas().set_index("host")
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    # independent recompute of the blocking rule
+    for i in range(7):
+        host = f"site{i}.example"
+        on_host = docs[docs["doc_id"] % 7 == i]
+        blocked = int((on_host["doc_id"] % 3 == 0).sum()) if i % 2 == 0 else 0
+        assert pdf.loc[host, "n_pages"] == len(on_host)
+        assert pdf.loc[host, "n_blocked"] == blocked
+        assert pdf.loc[host, "n_kept"] == len(on_host) - blocked
+    # odd hosts (only the /admin/ decoy rule) never block anything
+    odd = pdf.loc[[f"site{i}.example" for i in (1, 3, 5)]]
+    assert (odd["n_blocked"] == 0).all()
