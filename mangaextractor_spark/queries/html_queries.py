@@ -327,14 +327,14 @@ def html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # links to two hash-derived hosts (decorrelated from the page's own),
 # plus one relative link that must NOT produce an edge.
 _N_HOSTS = 7
-_SRC_DOM_SQL = "'site' || CAST(doc_id % 7 AS VARCHAR) || '.example'"
+_SRC_DOM_SQL = f"'site' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.example'"
 _DST1_SQL = (
     "'site' || CAST(TRY_CAST('0x' || SUBSTR(md5('l1:' || CAST(doc_id AS VARCHAR)), 1, 15)"
-    " AS BIGINT) % 7 AS VARCHAR) || '.example'"
+    f" AS BIGINT) % {_N_HOSTS} AS VARCHAR) || '.example'"
 )
 _DST2_SQL = (
     "'site' || CAST(TRY_CAST('0x' || SUBSTR(md5('l2:' || CAST(doc_id AS VARCHAR)), 1, 15)"
-    " AS BIGINT) % 7 AS VARCHAR) || '.example'"
+    f" AS BIGINT) % {_N_HOSTS} AS VARCHAR) || '.example'"
 )
 
 _LINK_HTML_SQL = (
@@ -406,6 +406,23 @@ def _link_html_col() -> F.Column:
     tags=("text", "extract", "dom", "graph"),
 )
 def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _href_edges(spark, sf_dir)
+        .groupBy("src_domain", "dst_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_pages"),
+        )
+        .orderBy("src_domain", "dst_domain")
+    )
+
+
+def _href_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, src_domain, dst_domain) — one row per absolute link;
+    the un-aggregated edge stream shared by html_link_graph (which
+    adds the countDistinct rollup) and host_rank (which only needs
+    link-count weights, so it must not pay the distinct expansion or
+    the output sort)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     pages = d.select(
         "doc_id",
@@ -419,19 +436,11 @@ def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_domain",
         F.explode(F.regexp_extract_all("html", F.lit(_HREF_RE), F.lit(1))).alias("url"),
     )
-    edges = hrefs.select(
+    return hrefs.select(
         "doc_id",
         "src_domain",
         F.regexp_extract("url", _DOMAIN_RE, 1).alias("dst_domain"),
     ).filter(F.col("dst_domain") != "")
-    return (
-        edges.groupBy("src_domain", "dst_domain")
-        .agg(
-            F.count(F.lit(1)).alias("n_links"),
-            F.countDistinct("doc_id").alias("n_pages"),
-        )
-        .orderBy("src_domain", "dst_domain")
-    )
 
 
 # --- host rank over the link graph ----------------------------------------
@@ -513,12 +522,11 @@ SELECT host, outw, pr FROM r2 ORDER BY pr DESC, host
 )
 def host_rank(spark: SparkSession, sf_dir: str, iters: int = HOST_PR_ITERS) -> DataFrame:
     ew = (
-        html_link_graph(spark, sf_dir)
-        .select(
-            F.col("src_domain").alias("src"),
-            F.col("dst_domain").alias("dst"),
-            F.col("n_links").cast("long").alias("w"),
+        _href_edges(spark, sf_dir)
+        .groupBy(
+            F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
         )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .localCheckpoint()  # extraction subtree executes once, not once per round
     )
     nodes = ew.select(F.col("src").alias("host")).union(

@@ -105,6 +105,41 @@ def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(F.col("doc_id").cast("string").alias("doc_id"), _spans_col().alias("spans"))
 
 
+def survivors_col(spans: Column) -> Column:
+    """THE per-kind extraction + empty-drop rule (order-free), shared
+    by main_content_spans_df (which sorts and renumbers around it) and
+    mm_packing's token accounting (which only aggregates over it):
+    image spans pass with their media_ref, html spans go through the
+    main-content chain, text spans pass verbatim; spans whose
+    extracted text is '' and are not images are dropped. One
+    definition so the two surfaces cannot drift."""
+    extracted = F.transform(
+        spans,
+        lambda s: F.struct(
+            F.when(s["kind"] == "image", F.lit("image"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            F.when(s["kind"] == "html", html_main_text(s["text"]))
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    return F.filter(extracted, lambda s: (s["text"] != "") | (s["kind"] == "image"))
+
+
+def survivors_sql(spans: str) -> str:
+    """DuckDB twin of survivors_col, over any spans-list expression."""
+    return f"""list_filter(
+           list_transform({spans}, s -> struct_pack(
+             kind := CASE WHEN s.kind = 'image' THEN 'image' ELSE 'text' END,
+             text := CASE WHEN s.kind = 'html' THEN {html_main_sql("s.text")}
+                          ELSE s.text END,
+             media_ref := s.media_ref)),
+           s -> s.text <> '' OR s.kind = 'image'
+         )"""
+
+
 def main_content_spans_df(
     docs: DataFrame, passthrough: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -124,19 +159,7 @@ def main_content_spans_df(
         .when(a["offset"] > b["offset"], 1)
         .otherwise(0),
     )
-    extracted = F.transform(
-        ordered,
-        lambda s: F.struct(
-            F.when(s["kind"] == "image", F.lit("image")).otherwise(F.lit("text")).alias("kind"),
-            F.when(s["kind"] == "html", html_main_text(s["text"]))
-            .otherwise(s["text"])
-            .alias("text"),
-            s["media_ref"].alias("media_ref"),
-        ),
-    )
-    survivors = F.filter(
-        extracted, lambda s: (s["text"] != "") | (s["kind"] == "image")
-    )
+    survivors = survivors_col(ordered)
     numbered = F.transform(
         survivors,
         lambda s, i: F.struct(
@@ -178,14 +201,7 @@ WITH docs AS (
 ),
 extracted AS (
   SELECT doc_id,
-         list_filter(
-           list_transform(spans, s -> struct_pack(
-             kind := CASE WHEN s.kind = 'image' THEN 'image' ELSE 'text' END,
-             text := CASE WHEN s.kind = 'html' THEN {html_main_sql("s.text")}
-                          ELSE s.text END,
-             media_ref := s.media_ref)),
-           s -> s.text <> '' OR s.kind = 'image'
-         ) AS survivors
+         {survivors_sql("spans")} AS survivors
   FROM docs
 )
 SELECT doc_id,

@@ -45,11 +45,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.html import html_main_sql, html_main_text
 from ..session import load_table, spread
 from . import register
 from ._portable import WORDS_SQL, phash60, phash60_sql, words_col
-from .main_content import _SPANS_SQL, _spans_col, interleaved_docs
+from .main_content import (
+    _SPANS_SQL,
+    _spans_col,
+    interleaved_docs,
+    survivors_col,
+    survivors_sql,
+)
 
 # --- deterministic image geometry & cost model ---------------------------
 
@@ -108,21 +113,9 @@ def _patches_sql(w: str, h: str) -> str:
 
 
 def _survivors() -> Column:
-    """Extracted main-content spans (same per-kind dispatch + empty-drop
-    rule as main_content_spans_df; order irrelevant for accounting)."""
-    extracted = F.transform(
-        F.col("spans"),
-        lambda s: F.struct(
-            F.when(s["kind"] == "image", F.lit("image"))
-            .otherwise(F.lit("text"))
-            .alias("kind"),
-            F.when(s["kind"] == "html", html_main_text(s["text"]))
-            .otherwise(s["text"])
-            .alias("text"),
-            s["media_ref"].alias("media_ref"),
-        ),
-    )
-    return F.filter(extracted, lambda s: (s["text"] != "") | (s["kind"] == "image"))
+    """Extracted main-content spans — THE shared rule from
+    main_content.survivors_col (order irrelevant for accounting)."""
+    return survivors_col(F.col("spans"))
 
 
 def mm_costs_df(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
@@ -172,14 +165,7 @@ docs AS (
 ),
 surv AS (
   SELECT doc_id{extra},
-         list_filter(
-           list_transform(spans, s -> struct_pack(
-             kind := CASE WHEN s.kind = 'image' THEN 'image' ELSE 'text' END,
-             text := CASE WHEN s.kind = 'html' THEN {html_main_sql("s.text")}
-                          ELSE s.text END,
-             media_ref := s.media_ref)),
-           s -> s.text <> '' OR s.kind = 'image'
-         ) AS sv
+         {survivors_sql("spans")} AS sv
   FROM docs
 ),
 costs AS (
@@ -346,8 +332,9 @@ fills AS (
          COUNT(*) AS n_docs,
          SUM(LEAST((seq_id + 1) * {MM_SEQ_LEN}, start_offset + mm_tokens)
              - GREATEST(seq_id * {MM_SEQ_LEN}, start_offset)) AS tokens_filled
-  FROM c, UNNEST(generate_series(start_offset // {MM_SEQ_LEN},
-                                 (start_offset + mm_tokens - 1) // {MM_SEQ_LEN}))
+  FROM (SELECT * FROM c WHERE mm_tokens > 0) cz,
+       UNNEST(generate_series(start_offset // {MM_SEQ_LEN},
+                              (start_offset + mm_tokens - 1) // {MM_SEQ_LEN}))
        AS g(seq_id)
   GROUP BY bucket, seq_id
 ),
@@ -440,8 +427,16 @@ def mm_seq_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = MM_SEQ_LEN
     s0 = F.floor(F.col("start_offset") / L)
     s1 = F.floor((F.col("start_offset") + F.col("mm_tokens") - 1) / L)
+    # mm_tokens > 0 guard: a zero-cost doc occupies no sequence. Without
+    # it, a 0-cost doc whose start_offset sits exactly on a boundary
+    # gives s1 = s0 - 1, and Spark's sequence() would DESCEND ([s0,
+    # s0-1], emitting a spurious seq_id - 1 row) while DuckDB's
+    # generate_series yields nothing — a silent engine divergence. The
+    # fixture always plants an image span so every doc has cost here,
+    # but mm_costs_df is generic over north_rule-shaped inputs.
     fills = (
-        c.select(
+        c.filter(F.col("mm_tokens") > 0)
+        .select(
             "bucket",
             "start_offset",
             "mm_tokens",
@@ -695,16 +690,20 @@ t AS (
          CAST(SUM(mm_avail) AS BIGINT) AS tot_toks
   FROM w
 )
-SELECT w.source, w.mm_avail, w.text_tokens, w.patch_tokens,
-       CAST(w.patch_tokens AS DOUBLE) / w.mm_avail AS image_token_share,
-       w.w_e6,
-       ({MM_BUDGET_EPOCHS} * t.tot_toks * w.w_e6) // t.tot_w AS requested_tokens,
-       (({MM_BUDGET_EPOCHS} * t.tot_toks * w.w_e6) // t.tot_w + w.mm_avail - 1)
-         // w.mm_avail AS epochs,
-       CAST(({MM_BUDGET_EPOCHS} * t.tot_toks * w.w_e6) // t.tot_w AS DOUBLE)
-         / CAST(w.mm_avail AS DOUBLE) AS repeat_factor
-FROM w CROSS JOIN t
-ORDER BY w.source
+,
+r AS (
+  SELECT w.*,
+         CAST(({MM_BUDGET_EPOCHS} * CAST(t.tot_toks AS HUGEINT) * w.w_e6)
+              // t.tot_w AS BIGINT) AS requested_tokens
+  FROM w CROSS JOIN t
+)
+SELECT source, mm_avail, text_tokens, patch_tokens,
+       CAST(patch_tokens AS DOUBLE) / mm_avail AS image_token_share,
+       w_e6, requested_tokens,
+       (requested_tokens + mm_avail - 1) // mm_avail AS epochs,
+       CAST(requested_tokens AS DOUBLE) / CAST(mm_avail AS DOUBLE)
+         AS repeat_factor
+FROM r ORDER BY source
 """
 
 
@@ -752,7 +751,18 @@ def mm_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_e6").cast("long").alias("tot_w"),
         F.sum("mm_avail").cast("long").alias("tot_toks"),
     )
-    req = f"({MM_BUDGET_EPOCHS} * tot_toks * w_e6) DIV tot_w"
+    # Overflow headroom (_scale_notes BIGINT-product rule): the 3-factor
+    # product 2 * tot_toks * w_e6 grows as ~2e6 * T^1.5 and would wrap
+    # int64 near T ~ 2.8e8 mm tokens. Both engines therefore compute it
+    # in 38-digit exact integer arithmetic — HUGEINT in the oracle,
+    # DECIMAL(38,0) here, where the floor division is expressed as the
+    # exact-divisible form (p - p % tw) / tw so the decimal quotient is
+    # integral (no scale rounding can touch it) before the BIGINT cast.
+    req = (
+        f"CAST((CAST({MM_BUDGET_EPOCHS} AS DECIMAL(38,0)) * tot_toks * w_e6"
+        f" - CAST({MM_BUDGET_EPOCHS} AS DECIMAL(38,0)) * tot_toks * w_e6"
+        f" % tot_w) / tot_w AS BIGINT)"
+    )
     return (
         w.crossJoin(F.broadcast(tot))
         .select(

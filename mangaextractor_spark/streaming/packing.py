@@ -116,12 +116,20 @@ def stream_sequence_packing(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+    return _start_packing_writer(packed, out_dir, checkpoint_dir, available_now)
+
+
+def _start_packing_writer(
+    packed: Any, out_dir: str, checkpoint_dir: str, available_now: bool
+) -> StreamingQuery:
+    """Shared sink discipline for both packing twins: idempotent
+    per-batch overwrite (a replayed batch rewrites its own directory,
+    same rule as streaming/ingest.py) under an update-mode foreachBatch
+    with the state checkpoint."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        # idempotent per-batch overwrite: a replayed batch rewrites its
-        # own directory (same discipline as streaming/ingest.py)
         batch.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     writer = (
@@ -182,17 +190,4 @@ def stream_mm_packing(
         "update",
         GroupStateTimeout.NoTimeout,
     )
-
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        batch.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-
-    writer = (
-        packed.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_packing_writer(packed, out_dir, checkpoint_dir, available_now)
